@@ -1,0 +1,114 @@
+"""Pairwise similarity metrics — pure-Python/numpy, no external C deps.
+
+Keeping the implementations dependency-free preserves the determinism
+invariant (BASELINE.md): a library upgrade can never change a score by an
+ulp. The expensive metrics are only ever called on SHORT strings (title
+proxies, ≤ ~100 chars) and inside a cheap-first cascade (token Jaccard gates
+which pairs pay for edit distance) — see operators/scoring.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def jaccard_tokens(a: list[str] | set[str], b: list[str] | set[str]) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ch in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ch:
+                match_a[i] = True
+                match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions
+    t = 0
+    j = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    m = matches
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance; inner loop vectorized with numpy (one numpy pass per
+    char of the shorter string — ~80 vector ops max for title-length input)."""
+    if a == b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    if not a:
+        return len(b)
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(len(b) + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i, ch in enumerate(a):
+        cur = np.empty_like(prev)
+        cur[0] = i + 1
+        cost = (bv != ord(ch)).astype(np.int64)
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=cur[1:])
+        # propagate insertions left-to-right in one vector pass:
+        # cur[j] = min_{k<=j}(cur[k] + (j-k)) = idx[j] + cummin(cur - idx)[j]
+        cur = np.minimum.accumulate(cur - idx) + idx
+        prev = cur
+    return int(prev[-1])
+
+
+def levenshtein_ratio(a: str, b: str) -> float:
+    m = max(len(a), len(b))
+    if m == 0:
+        return 1.0
+    return 1.0 - levenshtein(a, b) / m
+
+
+def cosine(a, b) -> float:
+    va = np.asarray(a, dtype=np.float64)
+    vb = np.asarray(b, dtype=np.float64)
+    na = np.linalg.norm(va)
+    nb = np.linalg.norm(vb)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(np.dot(va, vb) / (na * nb))
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin((x ^ y) & ((1 << 64) - 1)).count("1")

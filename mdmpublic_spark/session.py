@@ -1,0 +1,81 @@
+"""SparkSession factory with the engine's standard tuning.
+
+Scale notes (design target: 1000-executor cluster, ~100 TB input):
+  * AQE on — runtime coalescing + skew-join splitting for the big shuffles
+    (block self-join, connected-components iterations).
+  * Arrow on — every Python crossing is a vectorized pandas UDF batch.
+  * UTC session timezone — timestamp determinism across machines/locales
+    (the byte-identical-extraction invariant extends to derived columns).
+  * shuffle.partitions defaults to the local core count in the sandbox; on a
+    real cluster set it via conf to ~2-3x total cores (or rely on AQE
+    coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors (the `--py-files` artifact,
+    per north_rule). Local mode needs it too: Python workers are separate
+    processes that don't inherit the driver's sys.path mutations, and our
+    pandas UDFs are module-level (pickled by reference)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="mdmpublic-pyfiles-")
+    base = os.path.join(staging, "mdmpublic_spark_pkg")
+    shutil.copytree(pkg_dir, os.path.join(base, "mdmpublic_spark"))
+    return shutil.make_archive(base, "zip", base)
+
+
+def get_spark(
+    app_name: str = "mdmpublic-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` falls back to ``$SPARK_GRAFT_MASTER`` then ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{DEFAULT_CPUS}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or None
+    if shuffle_partitions is None:
+        # local[N] → N; local[*]/cluster → 32 default (overridable per job)
+        core_hint = master.removeprefix("local[").removesuffix("]")
+        shuffle_partitions = int(core_hint) if core_hint.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parquet scans: 128 MiB splits keep partitions executor-memory sized
+        # at 100 TB (≈800k tasks — fine; Spark scheduling handles millions).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # deterministic float behavior in pandas UDFs regardless of host arrow
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE", "/tmp/spark-warehouse"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # ship the package to Python workers (idempotent per session)
+    if not spark.conf.get("spark.mdmpublic.pyfilesShipped", None):
+        spark.sparkContext.addPyFile(package_zip())
+        spark.conf.set("spark.mdmpublic.pyfilesShipped", "true")
+    return spark
