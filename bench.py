@@ -1,0 +1,71 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
+end-to-end with the noop sink (full computation, no driver collect
+bottleneck). The ER dedup query runs the complete blocking + scoring +
+clustering pass over the documents table.
+
+The N-vs-4N scaling study (BASELINE rule) lives in
+tools/bench_scaling.py and reports into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mdmpublic_spark.queries import registry  # noqa: E402
+from mdmpublic_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_broadcast_lookup",
+    "j3_anti_join",
+    "j9_asof_span",
+    "a8_time_buckets",
+    "w1_lag_interval",
+    "w3_latest_per_group",
+    "er_dedup_cluster_summary",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="mdm-bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,14 @@ from pyspark.sql.types import ArrayType, LongType, StringType
 _U64 = np.uint64
 
 NUM_PERM = 64  # minhash signature length
-LSH_BANDS = 16  # 16 bands × 4 rows
-LSH_ROWS = NUM_PERM // LSH_BANDS
+# 21 bands × 3 rows (63 of 64 perms): calibrated on the labeled fixtures —
+# 16×4 missed 6/95 cross-domain positives (perturbed-vs-perturbed pairs sit
+# near shingle-jaccard 0.35, where P[4-row band agrees] ≈ 0.015); 21×3 missed
+# 1/95 with only 1/495 negatives gaining a shared key. r=3 keeps the candidate
+# volume at web scale bounded: unrelated pages share ~no 3-shingles, so
+# P[3-row agreement] is cubically suppressed.
+LSH_BANDS = 21
+LSH_ROWS = 3
 
 # fixed per-permutation odd multipliers/offsets, derived from sha256 of the
 # permutation index — reproducible from source alone
@@ -69,6 +75,10 @@ def lsh_band_keys(sig: list[int]) -> list[str]:
         f"b{band}:" + "-".join(str(v) for v in sig[band * LSH_ROWS : (band + 1) * LSH_ROWS])
         for band in range(LSH_BANDS)
     ]
+
+
+def band_count() -> int:
+    return LSH_BANDS
 
 
 def simhash64(tokens: list[str]) -> int:

@@ -54,6 +54,28 @@ def extract_text_bytes(html: bytes) -> str:
     return extract_text_str(html.decode("utf-8", errors="replace"))
 
 
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+
+
+def extract_title_str(html: str, max_chars: int = 200) -> str:
+    """<title> contents → cleaned text (pure, byte-deterministic).
+
+    Scoring compares *real* titles, never a text prefix: a prefix proxy
+    drags shared navigation boilerplate into the similarity window and
+    inflates Jaro-Winkler between unrelated same-template pages."""
+    m = _TITLE_RE.search(html)
+    if not m:
+        return ""
+    s = _TAG_RE.sub(" ", m.group(1))
+    for ent, rep in _ENTITIES.items():
+        s = s.replace(ent, rep)
+    return _WS_RE.sub(" ", s).strip()[:max_chars]
+
+
+def extract_title_bytes(html: bytes) -> str:
+    return extract_title_str(html.decode("utf-8", errors="replace"))
+
+
 def normalize_str(text: str) -> str:
     """Matching canonicalization: lowercase + alnum-token stream."""
     return " ".join(_TOKEN_RE.findall(text.lower()))
@@ -80,6 +102,11 @@ def shingles_str(text: str, k: int = 3) -> list[str]:
 @F.pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     return html.map(extract_text_bytes)
+
+
+@F.pandas_udf(StringType())
+def extract_title(html: pd.Series) -> pd.Series:
+    return html.map(extract_title_bytes)
 
 
 @F.pandas_udf(StringType())

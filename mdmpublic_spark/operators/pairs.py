@@ -1,0 +1,118 @@
+"""Stage 3 — candidate-pair generation: skew-aware block self-join.
+
+Reference analog: the MDM engine's candidate search against `mdm_index`
+feeding a bounded computation pool (``mincomputationpoolsize: 16``,
+``maxSimultaneousThreads: 8``, ``maxTotalThreads: 64`` —
+/root/reference/chef/setup_jenkins/jenkins_jobs/DeploySystem/config.xml:91-92,111).
+The pool bound is the reference's admission control on pair volume; our
+analog is the block-size cap.
+
+The physics (SURVEY.md §4.2 item 1): a block of B pages yields B(B-1)/2
+pairs, so skew is *quadratic* — one 10⁵-page domain means 5×10⁹ pairs.
+AQE's skew-join splitting only rebalances the shuffle; it cannot undo
+B². Policy here, in order:
+
+  1. **Size profile** — one groupBy(block_key).count() (map-side partial
+     agg; output is O(distinct keys)).
+  2. **Cap** — blocks with count > max_block_size are *dropped from pair
+     generation* with a logged counter (never silently; the
+     dropped-pairs count goes to metrics). Members remain reachable via
+     their other keys (multi-pass blocking), which bounds recall loss.
+  3. **Hot-block broadcast** — blocks above broadcast_threshold (but
+     under the cap) are joined via an explicit ``F.broadcast`` of the
+     hot side: the hot membership list is small by construction
+     (≤ n_hot_blocks × max_block_size rows), so the B² work runs
+     map-side with NO shuffle of the big side.
+  4. **AQE skew split** — the remaining sort-merge self-join on
+     block_key runs under spark.sql.adaptive.skewJoin for residual
+     imbalance.
+
+Pair dedup: a duplicate pair found under several keys (domain AND k LSH
+bands) must be scored once — `groupBy(url_a, url_b)` (one shuffle on the
+pair key, which AQE coalesces; pair keys are near-uniform because url
+pairs are, so no skew here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class PairGenStats:
+    candidate_pairs: int = 0
+    oversize_blocks: int = 0
+    dropped_pairs_est: int = 0
+    hot_blocks: int = 0
+
+
+def candidate_pairs(
+    blocked: DataFrame,
+    max_block_size: int = 2000,
+    broadcast_threshold: int = 200,
+    stats: PairGenStats | None = None,
+) -> DataFrame:
+    """(url, block_key) → distinct (url_a, url_b) with url_a < url_b.
+
+    Returns the pair DataFrame; fills ``stats`` (driver-side scalars
+    only — three small aggregate collects, no data collect).
+    """
+    sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+
+    # --- profile: oversize + hot key sets (small driver-side lists) ---
+    # oversize/hot keys are few by construction (Zipf head), so collecting
+    # just the *keys* is O(head), never O(data).
+    prof = (
+        sizes.where(F.col("n") > 1)
+        .select(
+            "block_key",
+            "n",
+            F.when(F.col("n") > max_block_size, "oversize")
+            .when(F.col("n") > broadcast_threshold, "hot")
+            .otherwise("small")
+            .alias("cls"),
+        )
+    )
+    head = prof.where(F.col("cls") != "small").collect()
+    oversize_keys = [r["block_key"] for r in head if r["cls"] == "oversize"]
+    hot_keys = [r["block_key"] for r in head if r["cls"] == "hot"]
+    if stats is not None:
+        stats.oversize_blocks = len(oversize_keys)
+        stats.hot_blocks = len(hot_keys)
+        stats.dropped_pairs_est = sum(
+            r["n"] * (r["n"] - 1) // 2 for r in head if r["cls"] == "oversize"
+        )
+
+    # joinable membership rows: size>1 and not oversize
+    member = blocked.join(
+        F.broadcast(prof.where(F.col("cls") != "oversize").select("block_key", "cls")),
+        "block_key",
+    )
+    # NB: broadcast of (block_key, cls) is only valid while distinct joinable
+    # keys fit in memory; at 10^12 docs swap this for a shuffle join by
+    # dropping F.broadcast — Catalyst picks sort-merge automatically.
+
+    small = member.where(F.col("cls") == "small").select("block_key", "url")
+    hot = member.where(F.col("cls") == "hot").select("block_key", "url")
+
+    def self_join(df: DataFrame, broadcast_right: bool) -> DataFrame:
+        a = df.alias("a")
+        b = df.alias("b")
+        right = F.broadcast(b) if broadcast_right else b
+        return (
+            a.join(right, F.col("a.block_key") == F.col("b.block_key"))
+            .where(F.col("a.url") < F.col("b.url"))
+            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        )
+
+    parts = []
+    if small is not None:
+        parts.append(self_join(small, broadcast_right=False))
+    if hot_keys:
+        parts.append(self_join(hot, broadcast_right=True))
+    pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    # dedup across key families — one shuffle on the (near-uniform) pair key
+    return pairs.groupBy("url_a", "url_b").agg(F.count(F.lit(1)).alias("n_keys"))

