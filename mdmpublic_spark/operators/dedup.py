@@ -1,0 +1,183 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over a document corpus (SURVEY.md §2 + task brief):
+  * exact        — hash-groupBy on md5(text): one shuffle, fully native.
+  * n-gram/token Jaccard — inverted-index (posting-list) self-join, fully
+    native Spark (explode → join on token → count ratios). This is the
+    classic "similarity join via inverted lists": no UDF, whole-stage
+    codegen, and the posting-list join prunes to documents sharing ≥1
+    token. DF-capped postings avoid the quadratic hot-token blowup.
+  * MinHash-LSH  — reuses the pipeline's banding (functions/hashing.py)
+    → band-bucket join → exact token-Jaccard verify on candidates only.
+  * SimHash      — 64-bit signature, 4×16-bit band bucketing (any pair
+    within Hamming distance 3 shares ≥1 exact band by pigeonhole) →
+    popcount verify. Bucket join + bit ops, all native after the
+    signature UDF.
+
+Scale notes: every family is (narrow map) → (shuffle on a key) →
+(bounded verify). The verify joins carry only ids + signatures, never
+full text. Posting lists for ubiquitous tokens are capped (df_cap)
+with a logged counter — the same quadratic-skew policy as
+operators/pairs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mdmpublic_spark.functions.hashing import lsh_keys, minhash_sig, simhash
+from mdmpublic_spark.functions.text import shingles, text_tokens
+
+TOKEN_RE = "[^a-z0-9]+"  # mirror of functions/text.py tokenization, SQL-safe
+
+
+def tokenized(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → distinct (id, tok) posting rows, built-ins only."""
+    return (
+        docs.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), TOKEN_RE),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("tok"),
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups of byte-identical texts → (text_md5, n_docs,
+    keep_id) with keep_id = min id (the survivor)."""
+    return (
+        docs.select(id_col, F.md5(F.col("text")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    df_cap: int = 10000,
+) -> DataFrame:
+    """Token-set Jaccard similarity self-join via inverted lists.
+
+    Returns (id_a, id_b, inter_n, union_n) for pairs with Jaccard ≥
+    threshold. The Jaccard test is done on exact integer counts
+    (inter ≥ threshold·union rearranged to avoid float boundaries).
+    Tokens with document frequency > df_cap are excluded from the
+    *pair-generating* join (quadratic skew guard) but still counted in
+    each doc's token count, so the Jaccard denominator stays exact
+    only when df_cap covers the corpus — at web scale the cap makes
+    this a recall-bounded approximation, logged by the caller.
+    """
+    toks = tokenized(docs, id_col).cache()
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    joinable = toks.join(
+        F.broadcast(dfreq.where(F.col("df") <= df_cap).where(F.col("df") > 1)),
+        "tok",
+    ).select(id_col, "tok")
+    a = joinable.select(F.col(id_col).alias("id_a"), "tok")
+    b = joinable.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        # integer-exact threshold test: inter/union >= t  ⇔  inter*10 >= t*10*union
+        .where(F.col("inter_n") * 10 >= F.lit(int(threshold * 10)) * F.col("union_n"))
+        .select("id_a", "id_b", "inter_n", "union_n")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact token Jaccard.
+
+    shingle → 64-perm signature → band keys → bucket self-join →
+    verify candidates with one posting-list join restricted to the
+    candidate set (semi-join pushdown)."""
+    sigs = docs.select(
+        id_col, minhash_sig(shingles(F.col("text"))).alias("sig")
+    )
+    banded = sigs.select(id_col, F.explode(lsh_keys(F.col("sig"))).alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only
+    toks = tokenized(docs, id_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        .where(
+            F.col("inter_n") * 100 >= F.lit(int(threshold * 100)) * F.col("union_n")
+        )
+        .select("id_a", "id_b", "inter_n", "union_n")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, 4×16-bit band buckets
+    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
+    verified with a native popcount (bit_count(xor))."""
+    sigs = docs.select(id_col, simhash(text_tokens(F.col("text"))).alias("sh"))
+    bands = sigs.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    x = bands.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
+    y = bands.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
+    return (
+        x.join(y, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,98 @@
+"""Text analysis operators: language-ID, quality scoring, token stats,
+document fingerprinting.
+
+All but the fingerprint are pure built-in column expressions (JVM-side,
+codegen) so each has an exact DuckDB oracle. The heuristics follow the
+standard web-corpus cleaning recipes (stopword-density language scoring,
+length/punctuation/stopword quality gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mdmpublic_spark.functions.hashing import fingerprint
+
+TOKEN_RE = "[^a-z0-9]+"
+
+# tiny closed-class stopword profiles (top function words)
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+PT_STOP = ["de", "que", "e", "o", "da", "do", "em", "um", "para", "com"]
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != "")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace words, alnum tokens, distinct tokens,
+    chars — the building block of corpus size accounting."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        id_col,
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("n_words"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID (en vs pt vs unknown).
+
+    Scores = closed-class token hits per profile; prediction = argmax
+    with a minimum-evidence gate. Exactly expressible in SQL (oracle in
+    queries/training_data.py)."""
+    toks = _tokens(F.col("text"))
+    en = F.size(F.filter(toks, lambda t: t.isin(EN_STOP)))
+    pt = F.size(F.filter(toks, lambda t: t.isin(PT_STOP)))
+    return docs.select(
+        id_col,
+        en.alias("en_hits"),
+        pt.alias("pt_hits"),
+        F.when((en >= 1) & (en >= pt), "en")
+        .when(pt >= 1, "pt")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Quality signals: length, mean word length, stopword ratio,
+    non-alnum (punct) ratio, plus a composite keep/drop flag — the
+    standard pre-training corpus filter shape."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    alnum_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOP + PT_STOP)))
+    mean_tok_len = F.when(n_tok > 0, alnum_chars.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - alnum_chars).cast("double") / n_chars
+    ).otherwise(F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            (n_chars >= 100)
+            & (n_tok >= 20)
+            & (mean_tok_len >= 2.0)
+            & (mean_tok_len <= 12.0)
+            & (punct_ratio <= 0.6)
+        ).alias("keep"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (functions/hashing.py) —
+    the compact near-identity sketch used for fast doc lookup."""
+    return docs.select(id_col, fingerprint(F.col("text")).alias("fp"))

@@ -1,0 +1,254 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — over the driver's documents/embeddings
+tables, with DuckDB oracles wherever exactly SQL-expressible.
+
+Tokenization parity contract: Spark `split(lower(text),'[^a-z0-9]+')`
+with empties filtered ≡ DuckDB `string_split_regex(lower(text),
+'[^a-z0-9]+')` with empties filtered. Cosine parity contract: both
+sides compute dot/(sqrt(dot_aa)*sqrt(dot_bb)) over double-cast arrays
+in index order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mdmpublic_spark.operators import dedup, multimodal, simsearch, textstats
+
+COS = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _vecs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+# ------------------------------------------------------------------ dedup ---
+
+
+def dd_exact_groups(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def dd_token_jaccard_pairs(spark, sf_dir):
+    return dedup.token_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def dd_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def dd_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def dd_embedding_near_dup(spark, sf_dir):
+    return simsearch.embedding_near_dup_pairs(_vecs(spark, sf_dir), threshold=0.95)
+
+
+# -------------------------------------------------------- similarity search ---
+
+
+def ann_brute_force_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 10)
+    return simsearch.brute_force_topk(vecs, queries, k=5)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 10)
+    return simsearch.lsh_ann_topk(vecs, queries, dim=64, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# ----------------------------------------------------------- text analysis ---
+
+
+def ta_token_stats(spark, sf_dir):
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+def ta_language_id(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def ta_quality_scores(spark, sf_dir):
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def ta_fingerprints(spark, sf_dir):
+    return textstats.doc_fingerprints(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------- multimodal ---
+
+
+def _media(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return multimodal.as_media(docs, "doc_id", "payload", kind="image", mime="text/plain")
+
+
+def mm_media_manifest(spark, sf_dir):
+    return _media(spark, sf_dir).select("media_id", "kind", "mime", "n_bytes", "sha256")
+
+
+def mm_feature_extract(spark, sf_dir):
+    feats = multimodal.extract_features(_media(spark, sf_dir), dim=16)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.size("feature").alias("dim"),
+    )
+
+
+def mm_frame_plan(spark, sf_dir):
+    return multimodal.frame_sample_plan(_media(spark, sf_dir), every_n_bytes=128)
+
+
+# ---------------------------------------------------------------- oracles ---
+
+_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
+_EN = "('the','a','of','and','to','in','is','that','it','for')"
+_PT = "('de','que','e','o','da','do','em','um','para','com')"
+
+ORACLES: dict[str, str] = {
+    "dd_exact_groups": """
+        SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "dd_token_jaccard_pairs": f"""
+        WITH d AS (
+          SELECT DISTINCT doc_id, unnest({_TOK}) AS tok FROM documents
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        dfreq AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+        joinable AS (
+          SELECT d.doc_id, d.tok FROM d JOIN dfreq USING (tok)
+          WHERE dfreq.df > 1 AND dfreq.df <= 10000
+        ),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+          FROM joinable a JOIN joinable b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter_n, sa.n + sb.n - inter_n AS union_n
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter_n * 10 >= 6 * (sa.n + sb.n - inter_n)
+    """,
+    "dd_embedding_near_dup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) a,
+             (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
+        WHERE a.vec_id < b.vec_id
+          AND {COS.format(a='a.e', b='b.e')} >= 0.95
+    """,
+    "ann_brute_force_topk": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, v.vec_id AS neighbor_id,
+                 {COS.format(a='q.qe', b='v.e')} AS cos
+          FROM q, v WHERE v.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5
+    """,
+    "ta_token_stats": f"""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t != '')) AS n_words,
+               len({_TOK}) AS n_tokens,
+               len(list_distinct({_TOK})) AS n_distinct_tokens,
+               length(text) AS n_chars
+        FROM documents
+    """,
+    "ta_language_id": f"""
+        SELECT doc_id,
+               len(list_filter({_TOK}, t -> t IN {_EN})) AS en_hits,
+               len(list_filter({_TOK}, t -> t IN {_PT})) AS pt_hits,
+               CASE
+                 WHEN len(list_filter({_TOK}, t -> t IN {_EN})) >= 1
+                  AND len(list_filter({_TOK}, t -> t IN {_EN}))
+                      >= len(list_filter({_TOK}, t -> t IN {_PT})) THEN 'en'
+                 WHEN len(list_filter({_TOK}, t -> t IN {_PT})) >= 1 THEN 'pt'
+                 ELSE 'unknown'
+               END AS lang_pred
+        FROM documents
+    """,
+    "ta_quality_scores": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len({_TOK}) AS n_tokens,
+                 length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars,
+                 len(list_filter({_TOK}, t -> t IN {_EN} OR t IN {_PT})) AS stop_hits
+          FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN alnum_chars::DOUBLE / n_tokens ELSE 0.0 END AS mean_tok_len,
+               CASE WHEN n_chars > 0
+                    THEN (n_chars - alnum_chars)::DOUBLE / n_chars ELSE 1.0 END AS punct_ratio,
+               CASE WHEN n_tokens > 0
+                    THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
+               (n_chars >= 100 AND n_tokens >= 20
+                AND alnum_chars::DOUBLE / n_tokens >= 2.0
+                AND alnum_chars::DOUBLE / n_tokens <= 12.0
+                AND (n_chars - alnum_chars)::DOUBLE / n_chars <= 0.6) AS keep
+        FROM base
+    """,
+    "mm_media_manifest": """
+        SELECT doc_id::VARCHAR AS media_id, 'image' AS kind, 'text/plain' AS mime,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+    "mm_frame_plan": """
+        SELECT doc_id::VARCHAR AS media_id,
+               unnest(generate_series(0, greatest(1,
+                   floor(octet_length(encode(text)) / 128)::INT) - 1)) AS frame_no,
+               unnest(generate_series(0, greatest(1,
+                   floor(octet_length(encode(text)) / 128)::INT) - 1)) * 128 AS byte_offset
+        FROM documents
+    """,
+}
+
+_FNS = {
+    "dd_exact_groups": dd_exact_groups,
+    "dd_token_jaccard_pairs": dd_token_jaccard_pairs,
+    "dd_minhash_pairs": dd_minhash_pairs,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "dd_embedding_near_dup": dd_embedding_near_dup,
+    "ann_brute_force_topk": ann_brute_force_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ta_token_stats": ta_token_stats,
+    "ta_language_id": ta_language_id,
+    "ta_quality_scores": ta_quality_scores,
+    "ta_fingerprints": ta_fingerprints,
+    "mm_media_manifest": mm_media_manifest,
+    "mm_feature_extract": mm_feature_extract,
+    "mm_frame_plan": mm_frame_plan,
+}
+
+
+def register_all(register) -> None:
+    for name, fn in _FNS.items():
+        register(name, fn, ORACLES.get(name))
