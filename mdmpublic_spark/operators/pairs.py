@@ -48,18 +48,38 @@ class PairGenStats:
     hot_blocks: int = 0
 
 
+DEFAULT_PREFIX_CAPS = {"d:": 100}
+
+
 def candidate_pairs(
     blocked: DataFrame,
     max_block_size: int = 2000,
     broadcast_threshold: int = 200,
     stats: PairGenStats | None = None,
+    prefix_caps: dict[str, int] | None = DEFAULT_PREFIX_CAPS,
 ) -> DataFrame:
     """(url, block_key) → distinct (url_a, url_b) with url_a < url_b.
+
+    ``prefix_caps`` applies a *tighter* cap per key family: domain keys
+    (``d:``) default to 100 because a popular domain is not a duplicate
+    signal — a 250-page domain block alone contributes 31k pairs of
+    which ~all score below threshold, and domains follow a Zipf head, so
+    large-domain blocks dominate candidate volume quadratically while
+    the LSH band keys already give recall *inside* the domain (same-site
+    near-duplicates share content shingles). Dropping them is the
+    semantic skew policy AQE cannot apply (SURVEY.md §4.2 item 1);
+    every drop is counted, never silent.
 
     Returns the pair DataFrame; fills ``stats`` (driver-side scalars
     only — three small aggregate collects, no data collect).
     """
     sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+
+    cap_expr = F.lit(max_block_size)
+    for prefix, cap in (prefix_caps or {}).items():
+        cap_expr = F.when(
+            F.col("block_key").startswith(prefix), F.least(F.lit(cap), cap_expr)
+        ).otherwise(cap_expr)
 
     # --- profile: oversize + hot key sets (small driver-side lists) ---
     # oversize/hot keys are few by construction (Zipf head), so collecting
@@ -69,7 +89,7 @@ def candidate_pairs(
         .select(
             "block_key",
             "n",
-            F.when(F.col("n") > max_block_size, "oversize")
+            F.when(F.col("n") > cap_expr, "oversize")
             .when(F.col("n") > broadcast_threshold, "hot")
             .otherwise("small")
             .alias("cls"),

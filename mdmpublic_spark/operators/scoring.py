@@ -96,26 +96,70 @@ def score_rows(
     )
 
 
+def _score_prepared(title_a, title_b, ts_a, sh_a, ts_b, sh_b):
+    """Score one pair from prepared (token-set, shingle-set) features."""
+    if not ts_a and not ts_b:
+        jt = 1.0
+    else:
+        i = len(ts_a & ts_b)
+        u = len(ts_a) + len(ts_b) - i
+        jt = i / u if u else 0.0
+    if jt < GATE:
+        return (jt, 0.0, 0.0, 0.0, 0.0, W_TOKEN * jt)
+    inter = len(sh_a & sh_b)
+    union = len(sh_a) + len(sh_b) - inter
+    js = inter / union if union else (1.0 if not sh_a and not sh_b else 0.0)
+    cs = inter / min(len(sh_a), len(sh_b)) if sh_a and sh_b else 0.0
+    ta, tb = title_a.lower(), title_b.lower()
+    jw = jaro_winkler(ta, tb)
+    lv = levenshtein_ratio(ta, tb)
+    return (
+        jt,
+        js,
+        cs,
+        jw,
+        lv,
+        W_TOKEN * jt + W_SHINGLE * js + W_CONT * cs + W_JW * jw + W_LEV * lv,
+    )
+
+
 def make_score_udf(stop_bc=None):
     """Factory: pair-scoring pandas UDF closing over the broadcast
-    stop-shingle set (boilerplate suppression — see blocking.py)."""
+    stop-shingle set (boilerplate suppression — see blocking.py).
+
+    A document appears in many candidate pairs, so token/shingle sets
+    are memoized per url within each Arrow batch — set construction
+    (O(tokens) per doc) happens once per distinct doc, not once per
+    pair, which dominates scoring cost on block-heavy corpora.
+    """
 
     @F.pandas_udf(SCORE_SCHEMA)
     def score_pair(
-        title_a: pd.Series, title_b: pd.Series, toks_a: pd.Series, toks_b: pd.Series
+        url_a: pd.Series,
+        url_b: pd.Series,
+        title_a: pd.Series,
+        title_b: pd.Series,
+        toks_a: pd.Series,
+        toks_b: pd.Series,
     ) -> pd.DataFrame:
         stop = stop_bc.value if stop_bc is not None else frozenset()
-        # list columns arrive as numpy arrays (Arrow); None-check explicitly
-        rows = [
-            score_rows(
-                a or "",
-                b or "",
-                [] if ta is None else list(ta),
-                [] if tb is None else list(tb),
-                stop,
-            )
-            for a, b, ta, tb in zip(title_a, title_b, toks_a, toks_b)
-        ]
+        feat_cache: dict = {}
+
+        def feats(url, toks):
+            f = feat_cache.get(url)
+            if f is None:
+                tl = [] if toks is None else list(toks)
+                f = (set(tl), _shingle_set(tl) - stop)
+                feat_cache[url] = f
+            return f
+
+        rows = []
+        for ua, ub, a, b, ta, tb in zip(
+            url_a, url_b, title_a, title_b, toks_a, toks_b
+        ):
+            ts_a, sh_a = feats(ua, ta)
+            ts_b, sh_b = feats(ub, tb)
+            rows.append(_score_prepared(a or "", b or "", ts_a, sh_a, ts_b, sh_b))
         return pd.DataFrame(rows, columns=[f.name for f in SCORE_SCHEMA.fields])
 
     return score_pair
@@ -169,7 +213,9 @@ def score_pairs(
     scored = (
         pairs.join(fa, "url_a")
         .join(fb, "url_b")
-        .withColumn("s", score_udf("title_a", "title_b", "toks_a", "toks_b"))
+        .withColumn(
+            "s", score_udf("url_a", "url_b", "title_a", "title_b", "toks_a", "toks_b")
+        )
         .select("url_a", "url_b", "s.*")
     )
     edges = scored.where(F.col("score") >= threshold).select(
