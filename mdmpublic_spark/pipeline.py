@@ -56,13 +56,24 @@ def run_pipeline(
     config: PipelineConfig | None = None,
     run_id: str | None = None,
 ) -> dict:
+    import time as _time
+
     cfg = config or PipelineConfig()
     run_id = run_id or uuid.uuid4().hex[:8]
     metrics = MetricsSink(f"{work_dir}/metrics", run_id)
     runner = StageRunner(spark, work_dir, metrics)
+    wall_t0 = _time.time()
     # per-stage fingerprint configs hold ONLY the knobs that stage reads,
     # so e.g. a threshold change re-runs nothing upstream of clustering
-    raw = spark.read.parquet(pages_path)
+    #
+    # Input parallelism: a small corpus may live in a single parquet file,
+    # which Spark scans as ONE task (maxPartitionBytes splitting only helps
+    # large files) — the whole extract/LSH map path would run on one core.
+    # Explicitly spread the scan across the configured parallelism; on a
+    # real cluster with many input files this repartition coalesces to a
+    # no-op-sized shuffle relative to the UDF work it unlocks.
+    par = cfg.repartition or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = spark.read.parquet(pages_path).repartition(par)
 
     # 1. extract — deterministic html→text, newest capture per url
     extracted_t = runner.run_stage(
@@ -164,12 +175,15 @@ def run_pipeline(
 
     golden_t = runner.run_stage("golden", _golden, config={}, inputs=[clusters_t, extracted_t])
 
+    wall = _time.time() - wall_t0
     metrics.flush(spark)
     return {
         "run_id": run_id,
         "work_dir": work_dir,
         "ran": runner.ran,
         "skipped": runner.skipped,
+        "wall_seconds": round(wall, 3),
+        "stage_seconds": runner.timings,
         "rows": {s: runner.state[s]["rows"] for s in runner.state},
         "pair_stats": vars(pair_stats),
         "tables": {
@@ -196,9 +210,23 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=DEFAULT_THRESHOLD)
     ap.add_argument("--max-block-size", type=int, default=2000)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run the whole pipeline once into a throwaway dir first, so the "
+        "reported timings reflect a warm JVM (long-lived cluster app), not "
+        "first-run JIT compilation",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="mdm-pipeline", master=args.master)
     cfg = PipelineConfig(score_threshold=args.threshold, max_block_size=args.max_block_size)
+    if args.warmup:
+        import shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="mdm-warmup-")
+        run_pipeline(spark, args.pages, wdir, cfg)
+        shutil.rmtree(wdir, ignore_errors=True)
     print(json.dumps(run_pipeline(spark, args.pages, args.work_dir, cfg)))
 
 

@@ -61,6 +61,7 @@ class StageRunner:
                 self.state = json.load(f)
         self.ran: list[str] = []
         self.skipped: list[str] = []
+        self.timings: dict[str, float] = {}
 
     def _save_state(self) -> None:
         tmp = self._state_path + ".tmp"
@@ -95,9 +96,16 @@ class StageRunner:
         df = fn()
         out.overwrite(df)
         dt = time.time() - t0
-        # lineage: per-partition counts of the committed output
-        total = self.metrics.add_partition_counts(name, out.read(self.spark))
+        # lineage: per-partition (= per output file/task) counts straight
+        # from the committed parquet footers — no extra Spark jobs
+        counts = out.file_row_counts()
+        total = 0
+        for pid, c in enumerate(counts):
+            self.metrics.add(name, "partition_rows", float(c), partition_id=pid)
+            total += c
+        self.metrics.add(name, "rows", float(total))
         self.metrics.add(name, "seconds", dt)
+        self.timings[name] = round(dt, 3)
         self.state[name] = {
             "fingerprint": fp,
             "rows": total,

@@ -18,7 +18,9 @@ from mdmpublic_spark.operators.scoring import DEFAULT_THRESHOLD, page_features, 
 
 
 def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file inputs scan as one task — spread the UDF-heavy map path
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     return docs.select(
         F.concat(
             F.lit("doc://"),

@@ -28,6 +28,10 @@ def package_zip() -> str:
     processes that don't inherit the driver's sys.path mutations, and our
     pandas UDFs are module-level (pickled by reference)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported from a --py-files zip (spark-submit path):
+        # the archive that contains us IS the artifact
+        return pkg_dir.split(".zip")[0] + ".zip"
     staging = tempfile.mkdtemp(prefix="mdmpublic-pyfiles-")
     base = os.path.join(staging, "mdmpublic_spark_pkg")
     shutil.copytree(pkg_dir, os.path.join(base, "mdmpublic_spark"))

@@ -83,12 +83,36 @@ class Table:
 
     # --- writes ---
 
+    def file_row_counts(self, snapshot_id: int | None = None) -> list[int]:
+        """Rows per data file (task output) from parquet footers — the
+        per-partition lineage counts, O(files) driver-side, zero Spark
+        jobs. One file ≙ one write task ≙ one partition."""
+        import pyarrow.parquet as pq
+
+        snaps = self.history()
+        snap = snaps[-1] if snapshot_id is None else next(
+            s for s in snaps if s.snapshot_id == snapshot_id
+        )
+        counts: list[int] = []
+        for d in snap.data_dirs:
+            full = os.path.join(self.path, d)
+            for name in sorted(os.listdir(full)):
+                if name.endswith(".parquet"):
+                    counts.append(pq.read_metadata(os.path.join(full, name)).num_rows)
+        return counts
+
     def _write_data(self, df: DataFrame) -> tuple[str, int]:
+        import pyarrow.parquet as pq
+
         snap_dir = f"data-{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.path, snap_dir)
         df.write.mode("overwrite").parquet(full)
-        # count from parquet footers (no recompute of df's lineage)
-        n = df.sparkSession.read.parquet(full).count()
+        # count from parquet footers — no extra Spark job per commit
+        n = sum(
+            pq.read_metadata(os.path.join(full, f)).num_rows
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
         return snap_dir, n
 
     def overwrite(self, df: DataFrame) -> Snapshot:

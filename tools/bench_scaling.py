@@ -1,0 +1,130 @@
+"""N-vs-4N scaling study (the BASELINE.json two-cluster-size rule).
+
+No multi-node cluster exists in this sandbox, so — per the round brief —
+the rule's scaling criterion is evidenced by running the IDENTICAL
+pipeline job on the IDENTICAL input at two parallelism levels
+(default local[8] vs local[32], i.e. N and 4N cores), launched the way
+the north_rule prescribes: ``spark-submit --py-files <pkg.zip>``.
+
+Throughput = pages / pipeline wall-seconds (stage execution only; JVM +
+session startup excluded — on a real cluster that cost is paid once per
+long-lived application, not per job).
+
+Scaling efficiency = (T_N / T_4N) / 4.
+
+Usage:  python tools/bench_scaling.py [--n-pages 40000] [--report BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_corpus(n_pages: int) -> str:
+    d = f"/tmp/mdm_scale_corpus_{n_pages}"
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        from mdmpublic_spark.gen.synth import generate_corpus
+
+        t0 = time.time()
+        stats = generate_corpus(d, n_pages=n_pages)
+        print(f"# generated corpus {stats} in {time.time()-t0:.1f}s", file=sys.stderr)
+    return d
+
+
+def run_once(pages: str, master: str, pkg_zip: str) -> dict:
+    work = tempfile.mkdtemp(prefix="mdm-scale-")
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", master,
+        "--py-files", pkg_zip,
+        # driver JVM options must be on the submit command line — builder
+        # config is too late once the JVM exists
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.log.level=WARN",
+        os.path.join(REPO, "mdmpublic_spark", "pipeline.py"),
+        "--pages", pages,
+        "--work-dir", work,
+        "--master", master,
+        "--warmup",  # report warm-JVM timings (long-lived app steady state)
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not last:
+        raise RuntimeError(f"pipeline produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+    info = json.loads(last[-1])
+    shutil.rmtree(work, ignore_errors=True)
+    return info
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-pages", type=int, default=40000)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--big", type=int, default=32)
+    ap.add_argument("--report", default=None, help="markdown file to append the table to")
+    args = ap.parse_args()
+
+    from mdmpublic_spark.session import package_zip
+
+    pkg = package_zip()
+    corpus = ensure_corpus(args.n_pages)
+    pages = os.path.join(corpus, "pages.parquet")
+
+    results = {}
+    for cores in (args.small, args.big):
+        info = run_once(pages, f"local[{cores}]", pkg)
+        wall = info["wall_seconds"]
+        results[cores] = {
+            "wall_seconds": wall,
+            "pages_per_sec": round(args.n_pages / wall, 1),
+            "stage_seconds": info["stage_seconds"],
+        }
+        print(f"# local[{cores}]: {wall:.1f}s  {results[cores]['pages_per_sec']} pages/s",
+              file=sys.stderr)
+
+    t_small = results[args.small]["wall_seconds"]
+    t_big = results[args.big]["wall_seconds"]
+    ratio = args.big / args.small
+    efficiency = (t_small / t_big) / ratio
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": f"speedup/(cores ratio {ratio:.0f}x)",
+        "n_pages": args.n_pages,
+        "runs": {f"local[{c}]": v for c, v in results.items()},
+    }
+    print(json.dumps(summary))
+
+    if args.report:
+        with open(args.report, "a") as f:
+            f.write(
+                f"\n## Scaling study (N vs {ratio:.0f}N cores, {args.n_pages} pages, "
+                f"same input, spark-submit --py-files)\n\n"
+                f"| parallelism | pipeline wall (s) | pages/sec |\n|---|---|---|\n"
+                f"| local[{args.small}] | {t_small:.1f} | "
+                f"{results[args.small]['pages_per_sec']} |\n"
+                f"| local[{args.big}] | {t_big:.1f} | "
+                f"{results[args.big]['pages_per_sec']} |\n\n"
+                f"**Scaling efficiency (speedup / {ratio:.0f}) = {efficiency:.3f}**"
+                f" (target ≥ 0.8 per BASELINE.json)\n"
+            )
+
+
+if __name__ == "__main__":
+    main()
