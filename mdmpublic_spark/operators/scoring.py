@@ -35,12 +35,13 @@ and cluster transitivity rescues outlier pairs whose neighbors chain.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from mdmpublic_spark.functions.similarity import jaccard_tokens, jaro_winkler, levenshtein_ratio
-from mdmpublic_spark.functions.text import title_expr, tokens_str
+from mdmpublic_spark.functions.text import title_expr
 
 SCORE_SCHEMA = StructType(
     [
@@ -123,71 +124,149 @@ def _score_prepared(title_a, title_b, ts_a, sh_a, ts_b, sh_b):
     )
 
 
-def make_score_udf(stop_bc=None):
-    """Factory: pair-scoring pandas UDF closing over the broadcast
-    stop-shingle set (boilerplate suppression — see blocking.py).
+def _score_hashed(title_a, title_b, th_a, th_b, sh_a, sh_b):
+    """Score one pair from hashed (sorted-distinct int64) feature arrays.
 
-    A document appears in many candidate pairs, so token/shingle sets
-    are memoized per url within each Arrow batch — set construction
-    (O(tokens) per doc) happens once per distinct doc, not once per
-    pair, which dominates scoring cost on block-heavy corpora.
+    Numerically identical to _score_prepared: Jaccard/containment only
+    read set *cardinalities*, which hashing preserves (64-bit collisions
+    are negligible at any realistic doc length)."""
+    la, lb = th_a.size, th_b.size
+    if la == 0 and lb == 0:
+        jt = 1.0
+    else:
+        i = np.intersect1d(th_a, th_b, assume_unique=True).size
+        u = la + lb - i
+        jt = i / u if u else 0.0
+    if jt < GATE:
+        return (jt, 0.0, 0.0, 0.0, 0.0, W_TOKEN * jt)
+    sa, sb = sh_a.size, sh_b.size
+    inter = np.intersect1d(sh_a, sh_b, assume_unique=True).size
+    union = sa + sb - inter
+    js = inter / union if union else (1.0 if sa == 0 and sb == 0 else 0.0)
+    cs = inter / min(sa, sb) if sa and sb else 0.0
+    ta, tb = title_a.lower(), title_b.lower()
+    if ta == tb:
+        jw = lv = 1.0
+    else:
+        jw = jaro_winkler(ta, tb)
+        lv = levenshtein_ratio(ta, tb)
+    return (
+        jt,
+        js,
+        cs,
+        jw,
+        lv,
+        W_TOKEN * jt + W_SHINGLE * js + W_CONT * cs + W_JW * jw + W_LEV * lv,
+    )
+
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def make_score_udf():
+    """Pair-scoring pandas UDF over pre-hashed features.
+
+    Why hashes and not token arrays: an array<string> column crossing
+    Arrow materializes every token as a Python str object — at ~10²
+    tokens per side that is ~10⁸ string allocations per 10⁶ pairs, and
+    allocation churn (not similarity math) dominated the stage (observed
+    10-20× the cost of the pure scoring loop, with wild run-to-run
+    variance). array<long> columns surface as int64 numpy views —
+    near-zero marshalling — and every set operation runs in C.
     """
 
     @F.pandas_udf(SCORE_SCHEMA)
     def score_pair(
-        url_a: pd.Series,
-        url_b: pd.Series,
         title_a: pd.Series,
         title_b: pd.Series,
-        toks_a: pd.Series,
-        toks_b: pd.Series,
+        th_a: pd.Series,
+        th_b: pd.Series,
+        sh_a: pd.Series,
+        sh_b: pd.Series,
     ) -> pd.DataFrame:
-        stop = stop_bc.value if stop_bc is not None else frozenset()
-        feat_cache: dict = {}
-
-        def feats(url, toks):
-            f = feat_cache.get(url)
-            if f is None:
-                tl = [] if toks is None else list(toks)
-                f = (set(tl), _shingle_set(tl) - stop)
-                feat_cache[url] = f
-            return f
-
         rows = []
-        for ua, ub, a, b, ta, tb in zip(
-            url_a, url_b, title_a, title_b, toks_a, toks_b
-        ):
-            ts_a, sh_a = feats(ua, ta)
-            ts_b, sh_b = feats(ub, tb)
-            rows.append(_score_prepared(a or "", b or "", ts_a, sh_a, ts_b, sh_b))
+        for a, b, ta, tb, xa, xb in zip(title_a, title_b, th_a, th_b, sh_a, sh_b):
+            rows.append(
+                _score_hashed(
+                    a or "",
+                    b or "",
+                    np.asarray(ta if ta is not None else _EMPTY_I64, dtype=np.int64),
+                    np.asarray(tb if tb is not None else _EMPTY_I64, dtype=np.int64),
+                    np.asarray(xa if xa is not None else _EMPTY_I64, dtype=np.int64),
+                    np.asarray(xb if xb is not None else _EMPTY_I64, dtype=np.int64),
+                )
+            )
         return pd.DataFrame(rows, columns=[f.name for f in SCORE_SCHEMA.fields])
 
     return score_pair
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def norm_tokens_capped(text: pd.Series) -> pd.Series:
-    # bound is applied inside the UDF (config captured at plan build)
-    return text.map(lambda t: tokens_str(t)[:_MAX_TOKENS])
-
-
 _MAX_TOKENS = 1024
+_TOKEN_SPLIT = "[^a-z0-9]+"
 
 
-def page_features(pages: DataFrame, title_chars: int = 80) -> DataFrame:
-    """(url, text[, title]) → (url, title, tokens) — the narrow scoring
-    projection. Uses the real html <title> when present; empty titles
-    fall back to a text prefix (JVM-side coalesce, no Python cost)."""
+def page_features(
+    pages: DataFrame, title_chars: int = 80, stop=None
+) -> DataFrame:
+    """(url, text[, title]) → (url, title, tok_h, sh_h) — the narrow
+    scoring projection, entirely JVM-side (no Python crossing):
+
+      tok_h  sorted distinct xxhash64 of the first ``_MAX_TOKENS``
+             normalized tokens,
+      sh_h   sorted distinct xxhash64 of the 3-word shingles of those
+             tokens, minus the ``stop`` boilerplate shingles.
+
+    Tokenize/shingle/hash are all built-in expressions (split, slice,
+    transform+get, xxhash64) so the whole projection stays inside
+    whole-stage codegen and the feature arrays cross Arrow as int64 —
+    see make_score_udf for why that matters. Uses the real html <title>
+    when present; empty titles fall back to a text prefix."""
     if "title" in pages.columns:
         title = F.coalesce(
             F.nullif(F.col("title"), F.lit("")), title_expr(F.col("text"), title_chars)
         )
     else:
         title = title_expr(F.col("text"), title_chars)
-    return pages.select(
+
+    toks_expr = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), _TOKEN_SPLIT), lambda t: t != F.lit("")
+        ),
+        1,
+        _MAX_TOKENS,
+    )
+    # Materialize the token array as an attribute BEFORE the shingle
+    # transform: a lambda body that references the raw split/filter
+    # expression would re-evaluate it per element × 3 gets — O(n²) per
+    # doc (measured 10× stage blowup). As a multiply-referenced
+    # non-trivial alias it survives CollapseProject, so every F.get
+    # below is an O(1) read of the computed array.
+    base = pages.select("url", title.alias("title"), toks_expr.alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    sh = (
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+                ),
+            ),
+        )
+        .when(n > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    sh = F.array_distinct(sh)
+    if stop:
+        sh = F.array_except(sh, F.lit(sorted(stop)))
+    tok_h = F.array_sort(F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t))))
+    sh_h = F.array_sort(F.transform(sh, lambda s: F.xxhash64(s)))
+    return base.select(
         "url",
-        title.alias("title"),
-        norm_tokens_capped(F.col("text")).alias("tokens"),
+        "title",
+        tok_h.alias("tok_h"),
+        sh_h.alias("sh_h"),
     )
 
 
@@ -195,7 +274,6 @@ def score_pairs(
     pairs: DataFrame,
     features: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
-    stop_bc=None,
 ):
     """pairs(url_a,url_b) ⨝ features×2 → scored pairs; returns (scored, edges).
 
@@ -204,17 +282,23 @@ def score_pairs(
     both joins co-located (bucketed Iceberg write — see tables.py note).
     """
     fa = features.select(
-        F.col("url").alias("url_a"), F.col("title").alias("title_a"), F.col("tokens").alias("toks_a")
+        F.col("url").alias("url_a"),
+        F.col("title").alias("title_a"),
+        F.col("tok_h").alias("th_a"),
+        F.col("sh_h").alias("shh_a"),
     )
     fb = features.select(
-        F.col("url").alias("url_b"), F.col("title").alias("title_b"), F.col("tokens").alias("toks_b")
+        F.col("url").alias("url_b"),
+        F.col("title").alias("title_b"),
+        F.col("tok_h").alias("th_b"),
+        F.col("sh_h").alias("shh_b"),
     )
-    score_udf = make_score_udf(stop_bc)
+    score_udf = make_score_udf()
     scored = (
         pairs.join(fa, "url_a")
         .join(fb, "url_b")
         .withColumn(
-            "s", score_udf("url_a", "url_b", "title_a", "title_b", "toks_a", "toks_b")
+            "s", score_udf("title_a", "title_b", "th_a", "th_b", "shh_a", "shh_b")
         )
         .select("url_a", "url_b", "s.*")
     )

@@ -137,10 +137,8 @@ def run_pipeline(
 
     # 4. score — vectorized pairwise metrics; edges = score ≥ θ
     def _scored() -> DataFrame:
-        feats = page_features(extracted, title_chars=cfg.title_chars)
-        scored, _ = score_pairs(
-            pairs_t.read(spark), feats, threshold=cfg.score_threshold, stop_bc=stop_bc
-        )
+        feats = page_features(extracted, title_chars=cfg.title_chars, stop=stop_set)
+        scored, _ = score_pairs(pairs_t.read(spark), feats, threshold=cfg.score_threshold)
         return scored
 
     scored_t = runner.run_stage(

@@ -52,8 +52,8 @@ def dedup_clusters(
     lsh = block_keys(pages, use_domain=False, use_lsh=True, stop_bc=stop_bc)
     blocked = dom.unionByName(lsh)
     pairs = candidate_pairs(blocked)
-    feats = page_features(pages)
-    _, edges = score_pairs(pairs, feats, threshold=threshold, stop_bc=stop_bc)
+    feats = page_features(pages, stop=stop)
+    _, edges = score_pairs(pairs, feats, threshold=threshold)
     assign, _ = connected_components(edges.select("src", "dst"))
     return (
         pages.join(assign, "url", "left")

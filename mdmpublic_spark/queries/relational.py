@@ -354,6 +354,68 @@ def s4_json_access(spark, sf_dir):
     )
 
 
+def j2_session_correlation(spark, sf_dir):
+    """J2 self-join correlation on session key, expressed as one grouped
+    aggregate with conditional min/max/count (the 3-way self-join of
+    'session opened'/'session closed'/'Accepted' lines per sshd PID,
+    ssh_login_report.sh:205-226)."""
+    ev = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    return ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ep)).alias("first_view_epoch"),
+        F.max(F.when(F.col("event_type") == "purchase", ep)).alias("last_purchase_epoch"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+
+
+def a2_group_stats(spark, sf_dir):
+    """A2/A3/A4 per-group stats rollup: sum/avg/min/max per key (the
+    per-bucket itemCount/diskUsed/opsPerSec projection)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        _dsum("l_quantity", "sum_qty"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        ),
+        F.min(F.col("l_quantity").cast("double")).alias("min_qty"),
+        F.max(F.col("l_quantity").cast("double")).alias("max_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def w4_session_duration(spark, sf_dir):
+    """W4 sessionized duration per key: last-minus-first event time
+    (end−start per session, ssh_login_report.sh:38-49), batch flavor of
+    streaming/monitors.session_windows."""
+    ev = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    return ev.groupBy("user_id").agg(
+        (F.max(ep) - F.min(ep)).alias("duration_seconds"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def t5_must_include_union(spark, sf_dir):
+    """T5 must-include union: selected set ∪ forced member list
+    (must_cookbook_list, kitchen_test_cookbooks.sh:65-77)."""
+    ev = _t(spark, sf_dir, "events")
+    selected = ev.where(F.col("event_type") == "purchase").select("user_id")
+    must = spark.range(1, 4).select(F.col("id").alias("user_id"))
+    return selected.union(must).distinct()
+
+
+def s5_regex_parse(spark, sf_dir):
+    """S5 regex-parsing scan → typed rows (the timestamped-console-line
+    parser, diagnostic_jenkinsjob_slow.py:25-68): carve typed fields out
+    of a formatted string column."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).cast("bigint").alias("name_num"),
+        F.substring_index(F.col("c_name"), "#", 1).alias("name_prefix"),
+    )
+
+
 def d1_exact_dup_profile(spark, sf_dir):
     """Exact-dedup profile of the documents corpus (md5 groupBy)."""
     docs = _t(spark, sf_dir, "documents")
@@ -526,6 +588,43 @@ ORACLES: dict[str, str] = {
         SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique_texts
         FROM documents
     """,
+    "j2_session_correlation": """
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN floor(epoch(ts))::BIGINT END)
+                   AS first_view_epoch,
+               max(CASE WHEN event_type = 'purchase' THEN floor(epoch(ts))::BIGINT END)
+                   AS last_purchase_epoch,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        FROM events GROUP BY user_id
+    """,
+    "a2_group_stats": """
+        SELECT l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty,
+               min(l_quantity)::DOUBLE AS min_qty,
+               max(l_quantity)::DOUBLE AS max_qty,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    "w4_session_duration": """
+        SELECT user_id,
+               max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT)
+                   AS duration_seconds,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "t5_must_include_union": """
+        SELECT DISTINCT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT * FROM (VALUES (1), (2), (3)) AS must(user_id))
+    """,
+    "s5_regex_parse": """
+        SELECT c_custkey,
+               CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+               split_part(c_name, '#', 1) AS name_prefix
+        FROM customer
+    """,
 }
 
 _FNS = {
@@ -558,6 +657,11 @@ _FNS = {
     "s3_hash_funcs": s3_hash_funcs,
     "s4_json_access": s4_json_access,
     "d1_exact_dup_profile": d1_exact_dup_profile,
+    "j2_session_correlation": j2_session_correlation,
+    "a2_group_stats": a2_group_stats,
+    "w4_session_duration": w4_session_duration,
+    "t5_must_include_union": t5_must_include_union,
+    "s5_regex_parse": s5_regex_parse,
 }
 
 
