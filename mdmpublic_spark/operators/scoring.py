@@ -124,6 +124,19 @@ def _score_prepared(title_a, title_b, ts_a, sh_a, ts_b, sh_b):
     )
 
 
+def _inter_sorted(a, b) -> int:
+    """|A ∩ B| for sorted-unique int64 arrays: searchsorted merge count —
+    no concatenate/sort/allocate the way np.intersect1d does (~4x less
+    memory traffic, which matters with 32 workers sharing a socket)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0:
+        return 0
+    idx = np.searchsorted(b, a)
+    mask = idx < b.size
+    return int(np.count_nonzero(b[idx[mask]] == a[mask]))
+
+
 def _score_hashed(title_a, title_b, th_a, th_b, sh_a, sh_b):
     """Score one pair from hashed (sorted-distinct int64) feature arrays.
 
@@ -134,13 +147,13 @@ def _score_hashed(title_a, title_b, th_a, th_b, sh_a, sh_b):
     if la == 0 and lb == 0:
         jt = 1.0
     else:
-        i = np.intersect1d(th_a, th_b, assume_unique=True).size
+        i = _inter_sorted(th_a, th_b)
         u = la + lb - i
         jt = i / u if u else 0.0
     if jt < GATE:
         return (jt, 0.0, 0.0, 0.0, 0.0, W_TOKEN * jt)
     sa, sb = sh_a.size, sh_b.size
-    inter = np.intersect1d(sh_a, sh_b, assume_unique=True).size
+    inter = _inter_sorted(sh_a, sh_b)
     union = sa + sb - inter
     js = inter / union if union else (1.0 if sa == 0 and sb == 0 else 0.0)
     cs = inter / min(sa, sb) if sa and sb else 0.0

@@ -135,17 +135,28 @@ def run_pipeline(
     metrics.add("pairs", "dropped_pairs_est", pair_stats.dropped_pairs_est)
     metrics.add("pairs", "hot_blocks", pair_stats.hot_blocks)
 
-    # 4. score — vectorized pairwise metrics; edges = score ≥ θ
+    # 4a. features — narrow scoring projection, materialized ONCE: the
+    # score join reads it twice (a/b sides); recomputing the hashed
+    # shingle arrays per side doubled the stage's JVM work.
+    features_t = runner.run_stage(
+        "features",
+        lambda: page_features(extracted, title_chars=cfg.title_chars, stop=stop_set),
+        config={"title_chars": cfg.title_chars},
+        inputs=[extracted_t, profile_t],
+    )
+
+    # 4b. score — vectorized pairwise metrics; edges = score ≥ θ
     def _scored() -> DataFrame:
-        feats = page_features(extracted, title_chars=cfg.title_chars, stop=stop_set)
-        scored, _ = score_pairs(pairs_t.read(spark), feats, threshold=cfg.score_threshold)
+        scored, _ = score_pairs(
+            pairs_t.read(spark), features_t.read(spark), threshold=cfg.score_threshold
+        )
         return scored
 
     scored_t = runner.run_stage(
         "score",
         _scored,
-        config={"title_chars": cfg.title_chars},
-        inputs=[pairs_t, extracted_t, profile_t],
+        config={},
+        inputs=[pairs_t, features_t],
     )
 
     # 5. cluster — large-star/small-star CC over match edges
@@ -189,6 +200,7 @@ def run_pipeline(
             "profile": profile_t.path,
             "blocked": blocked_t.path,
             "pairs": pairs_t.path,
+            "features": features_t.path,
             "scored": scored_t.path,
             "clusters": clusters_t.path,
             "golden": golden_t.path,

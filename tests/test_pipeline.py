@@ -82,7 +82,7 @@ def test_resume_skips_completed_stages(spark, corpus_dir, run):
     )
     assert info2["ran"] == []
     assert set(info2["skipped"]) == {
-        "extract", "profile", "block", "pairs", "score", "cluster", "golden",
+        "extract", "profile", "block", "pairs", "features", "score", "cluster", "golden",
     }
 
 
@@ -99,7 +99,7 @@ def test_resume_after_partial_state_loss(spark, corpus_dir, run, tmp_path):
     info = run_pipeline(
         spark, os.path.join(corpus_dir, "pages.parquet"), run["work"], PipelineConfig()
     )
-    assert set(info["skipped"]) == {"extract", "profile", "block", "pairs"}
+    assert set(info["skipped"]) == {"extract", "profile", "block", "pairs", "features"}
     assert info["ran"] == ["score", "cluster", "golden"]
 
 
@@ -113,7 +113,9 @@ def test_config_change_invalidates(spark, corpus_dir, run):
         run["work"],
         PipelineConfig(score_threshold=0.7),
     )
-    assert set(info["skipped"]) == {"extract", "profile", "block", "pairs", "score"}
+    assert set(info["skipped"]) == {
+        "extract", "profile", "block", "pairs", "features", "score",
+    }
     assert info["ran"] == ["cluster", "golden"]
 
 

@@ -12,7 +12,13 @@ long-lived application, not per job).
 
 Scaling efficiency = (T_N / T_4N) / 4.
 
-Usage:  python tools/bench_scaling.py [--n-pages 40000] [--report BENCH.md]
+The sandbox is a shared VM: hypervisor steal spikes showed 3x wall-time
+swings between identical runs, so each configuration runs ``--repeats``
+times and the MINIMUM wall (least-disturbed run) is scored; per-run
+walls and the steal-time share measured from /proc/stat are reported
+alongside so the noise is visible, not hidden.
+
+Usage:  python tools/bench_scaling.py [--n-pages 120000] [--repeats 3] [--report BENCH.md]
 """
 
 from __future__ import annotations
@@ -40,6 +46,19 @@ def ensure_corpus(n_pages: int) -> str:
         stats = generate_corpus(d, n_pages=n_pages)
         print(f"# generated corpus {stats} in {time.time()-t0:.1f}s", file=sys.stderr)
     return d
+
+
+def read_cpu_ticks() -> dict:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    keys = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    return dict(zip(keys, (int(x) for x in parts[1 : len(keys) + 1])))
+
+
+def steal_share(before: dict, after: dict) -> float:
+    d = {k: after[k] - before[k] for k in before}
+    total = sum(d.values()) or 1
+    return d["steal"] / total
 
 
 def run_once(pages: str, master: str, pkg_zip: str) -> dict:
@@ -74,9 +93,10 @@ def run_once(pages: str, master: str, pkg_zip: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-pages", type=int, default=40000)
+    ap.add_argument("--n-pages", type=int, default=120000)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--big", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--report", default=None, help="markdown file to append the table to")
     args = ap.parse_args()
 
@@ -88,14 +108,29 @@ def main() -> None:
 
     results = {}
     for cores in (args.small, args.big):
-        info = run_once(pages, f"local[{cores}]", pkg)
-        wall = info["wall_seconds"]
+        walls, steals, best = [], [], None
+        for rep in range(args.repeats):
+            t0 = read_cpu_ticks()
+            info = run_once(pages, f"local[{cores}]", pkg)
+            st = steal_share(t0, read_cpu_ticks())
+            walls.append(info["wall_seconds"])
+            steals.append(round(st, 4))
+            if best is None or info["wall_seconds"] < best["wall_seconds"]:
+                best = info
+            print(
+                f"# local[{cores}] rep {rep}: {info['wall_seconds']:.1f}s "
+                f"(steal {st:.1%})",
+                file=sys.stderr,
+            )
+        wall = best["wall_seconds"]
         results[cores] = {
             "wall_seconds": wall,
             "pages_per_sec": round(args.n_pages / wall, 1),
-            "stage_seconds": info["stage_seconds"],
+            "stage_seconds": best["stage_seconds"],
+            "all_walls": walls,
+            "steal_shares": steals,
         }
-        print(f"# local[{cores}]: {wall:.1f}s  {results[cores]['pages_per_sec']} pages/s",
+        print(f"# local[{cores}]: best {wall:.1f}s  {results[cores]['pages_per_sec']} pages/s",
               file=sys.stderr)
 
     t_small = results[args.small]["wall_seconds"]
@@ -112,17 +147,23 @@ def main() -> None:
     print(json.dumps(summary))
 
     if args.report:
+        rs, rb = results[args.small], results[args.big]
         with open(args.report, "a") as f:
             f.write(
                 f"\n## Scaling study (N vs {ratio:.0f}N cores, {args.n_pages} pages, "
                 f"same input, spark-submit --py-files)\n\n"
-                f"| parallelism | pipeline wall (s) | pages/sec |\n|---|---|---|\n"
-                f"| local[{args.small}] | {t_small:.1f} | "
-                f"{results[args.small]['pages_per_sec']} |\n"
-                f"| local[{args.big}] | {t_big:.1f} | "
-                f"{results[args.big]['pages_per_sec']} |\n\n"
+                f"| parallelism | pipeline wall (s) | pages/sec | all runs (s) | steal share |\n"
+                f"|---|---|---|---|---|\n"
+                f"| local[{args.small}] | {t_small:.1f} | {rs['pages_per_sec']} | "
+                f"{', '.join(f'{w:.1f}' for w in rs['all_walls'])} | "
+                f"{', '.join(f'{s:.1%}' for s in rs['steal_shares'])} |\n"
+                f"| local[{args.big}] | {t_big:.1f} | {rb['pages_per_sec']} | "
+                f"{', '.join(f'{w:.1f}' for w in rb['all_walls'])} | "
+                f"{', '.join(f'{s:.1%}' for s in rb['steal_shares'])} |\n\n"
                 f"**Scaling efficiency (speedup / {ratio:.0f}) = {efficiency:.3f}**"
-                f" (target ≥ 0.8 per BASELINE.json)\n"
+                f" (target ≥ 0.8 per BASELINE.json). Best-of-{args.repeats} walls "
+                f"scored; the sandbox shares hardware (nonzero steal), so minima "
+                f"are the least-disturbed measurements.\n"
             )
 
 
