@@ -125,7 +125,7 @@ def _score_prepared(title_a, title_b, ts_a, sh_a, ts_b, sh_b):
 
 
 def _inter_sorted(a, b) -> int:
-    """|A ∩ B| for sorted-unique int64 arrays: searchsorted merge count —
+    """|A ∩ B| for sorted-unique int arrays: searchsorted merge count —
     no concatenate/sort/allocate the way np.intersect1d does (~4x less
     memory traffic, which matters with 32 workers sharing a socket)."""
     if a.size > b.size:
@@ -138,11 +138,11 @@ def _inter_sorted(a, b) -> int:
 
 
 def _score_hashed(title_a, title_b, th_a, th_b, sh_a, sh_b):
-    """Score one pair from hashed (sorted-distinct int64) feature arrays.
+    """Score one pair from hashed (sorted-distinct int32) feature arrays.
 
     Numerically identical to _score_prepared: Jaccard/containment only
-    read set *cardinalities*, which hashing preserves (64-bit collisions
-    are negligible at any realistic doc length)."""
+    read set *cardinalities*, which hashing preserves (collision odds
+    within a ~10^2-element doc set are ~10^-6)."""
     la, lb = th_a.size, th_b.size
     if la == 0 and lb == 0:
         jt = 1.0
@@ -173,7 +173,7 @@ def _score_hashed(title_a, title_b, th_a, th_b, sh_a, sh_b):
     )
 
 
-_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
 
 
 def make_score_udf():
@@ -184,7 +184,7 @@ def make_score_udf():
     tokens per side that is ~10⁸ string allocations per 10⁶ pairs, and
     allocation churn (not similarity math) dominated the stage (observed
     10-20× the cost of the pure scoring loop, with wild run-to-run
-    variance). array<long> columns surface as int64 numpy views —
+    variance). array<int> columns surface as int numpy views —
     near-zero marshalling — and every set operation runs in C.
     """
 
@@ -203,10 +203,10 @@ def make_score_udf():
                 _score_hashed(
                     a or "",
                     b or "",
-                    np.asarray(ta if ta is not None else _EMPTY_I64, dtype=np.int64),
-                    np.asarray(tb if tb is not None else _EMPTY_I64, dtype=np.int64),
-                    np.asarray(xa if xa is not None else _EMPTY_I64, dtype=np.int64),
-                    np.asarray(xb if xb is not None else _EMPTY_I64, dtype=np.int64),
+                    np.asarray(ta if ta is not None else _EMPTY_I32, dtype=np.int32),
+                    np.asarray(tb if tb is not None else _EMPTY_I32, dtype=np.int32),
+                    np.asarray(xa if xa is not None else _EMPTY_I32, dtype=np.int32),
+                    np.asarray(xb if xb is not None else _EMPTY_I32, dtype=np.int32),
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in SCORE_SCHEMA.fields])
@@ -224,13 +224,13 @@ def page_features(
     """(url, text[, title]) → (url, title, tok_h, sh_h) — the narrow
     scoring projection, entirely JVM-side (no Python crossing):
 
-      tok_h  sorted distinct xxhash64 of the first ``_MAX_TOKENS``
+      tok_h  sorted distinct 32-bit hashes of the first ``_MAX_TOKENS``
              normalized tokens,
-      sh_h   sorted distinct xxhash64 of the 3-word shingles of those
+      sh_h   sorted distinct 32-bit hashes of the 3-word shingles of those
              tokens, minus the ``stop`` boilerplate shingles.
 
     Tokenize/shingle/hash are all built-in expressions (split, slice,
-    transform+get, xxhash64) so the whole projection stays inside
+    transform+get, hash) so the whole projection stays inside
     whole-stage codegen and the feature arrays cross Arrow as int64 —
     see make_score_udf for why that matters. Uses the real html <title>
     when present; empty titles fall back to a text prefix."""
@@ -273,8 +273,13 @@ def page_features(
     sh = F.array_distinct(sh)
     if stop:
         sh = F.array_except(sh, F.lit(sorted(stop)))
-    tok_h = F.array_sort(F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t))))
-    sh_h = F.array_sort(F.transform(sh, lambda s: F.xxhash64(s)))
+    # 32-bit murmur (F.hash), not xxhash64: halves the feature-array
+    # bytes through shuffle + Arrow + numpy — the 32-worker score stage
+    # is memory-bandwidth-bound, so volume is latency. Collision odds
+    # within a ~10^2-element doc set are ~10^-6 (birthday bound) and at
+    # worst nudge one Jaccard by 1/|set|.
+    tok_h = F.array_sort(F.array_distinct(F.transform(toks, lambda t: F.hash(t))))
+    sh_h = F.array_sort(F.transform(sh, lambda s: F.hash(s)))
     return base.select(
         "url",
         "title",
