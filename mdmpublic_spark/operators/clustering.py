@@ -91,12 +91,17 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e.localCheckpoint() if not reliable else e.checkpoint()
+    # eager=False: the checkpoint materializes inside the checksum
+    # action — one Spark job per round instead of two (the per-round job
+    # floor, not the data, dominates CC wall time once cores scale).
+    e = e.localCheckpoint(eager=False) if not reliable else e.checkpoint(eager=False)
     prev = _checksum(e)
     rounds = 0
     for rounds in range(1, max_iter + 1):
         e2 = _small_star(_large_star(e))
-        e2 = e2.localCheckpoint() if not reliable else e2.checkpoint()
+        e2 = (
+            e2.localCheckpoint(eager=False) if not reliable else e2.checkpoint(eager=False)
+        )
         cur = _checksum(e2)
         e = e2
         if cur == prev:
