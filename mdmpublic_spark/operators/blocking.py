@@ -39,7 +39,7 @@ DOMAIN_PREFIX = "d:"
 
 
 def common_shingles(
-    pages: DataFrame, min_stop_df: int = 20, stop_frac: float = 0.005
+    pages: DataFrame, min_stop_df: int = 20, stop_frac: float = 0.005, n_docs: int | None = None
 ) -> DataFrame:
     """Corpus profile: shingles whose document frequency marks them as
     boilerplate ("stop shingles") → (shingle, df).
@@ -53,7 +53,8 @@ def common_shingles(
     at any scale. The aggregation is one map-side-combined groupBy whose
     output is only the high-DF head (Zipf: tiny), safe to broadcast.
     """
-    n = pages.count()
+    n = pages.count() if n_docs is None else n_docs  # callers with a committed
+    # row count (stage manifests) pass it in — saves a full scan job
     thr = max(min_stop_df, int(stop_frac * n))
     return (
         pages.select(F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"))

@@ -74,6 +74,11 @@ def candidate_pairs(
     only — three small aggregate collects, no data collect).
     """
     sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    # the profile feeds BOTH a driver collect (oversize/hot key stats)
+    # and the membership broadcast join; persist so blocked is scanned
+    # and aggregated once, not once per action (output is O(distinct
+    # keys), a small fraction of the blocked rows)
+    sizes = sizes.persist()
 
     cap_expr = F.lit(max_block_size)
     for prefix, cap in (prefix_caps or {}).items():

@@ -86,7 +86,12 @@ def run_pipeline(
     # 2a. profile — corpus-adaptive boilerplate ("stop shingles") by DF
     profile_t = runner.run_stage(
         "profile",
-        lambda: common_shingles(extracted, cfg.min_stop_df, cfg.stop_frac),
+        lambda: common_shingles(
+            extracted,
+            cfg.min_stop_df,
+            cfg.stop_frac,
+            n_docs=runner.state["extract"]["rows"],
+        ),
         config={"min_stop_df": cfg.min_stop_df, "stop_frac": cfg.stop_frac},
         inputs=[extracted_t],
     )

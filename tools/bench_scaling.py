@@ -106,29 +106,35 @@ def main() -> None:
     corpus = ensure_corpus(args.n_pages)
     pages = os.path.join(corpus, "pages.parquet")
 
-    results = {}
-    for cores in (args.small, args.big):
-        walls, steals, best = [], [], None
-        for rep in range(args.repeats):
+    # interleave configs (rep-major) so slow ambient-noise drift on the
+    # shared VM hits both parallelism levels evenly instead of whichever
+    # config happened to run during the noisy window
+    acc = {c: {"walls": [], "steals": [], "best": None} for c in (args.small, args.big)}
+    for rep in range(args.repeats):
+        for cores in (args.small, args.big):
             t0 = read_cpu_ticks()
             info = run_once(pages, f"local[{cores}]", pkg)
             st = steal_share(t0, read_cpu_ticks())
-            walls.append(info["wall_seconds"])
-            steals.append(round(st, 4))
-            if best is None or info["wall_seconds"] < best["wall_seconds"]:
-                best = info
+            a = acc[cores]
+            a["walls"].append(info["wall_seconds"])
+            a["steals"].append(round(st, 4))
+            if a["best"] is None or info["wall_seconds"] < a["best"]["wall_seconds"]:
+                a["best"] = info
             print(
                 f"# local[{cores}] rep {rep}: {info['wall_seconds']:.1f}s "
                 f"(steal {st:.1%})",
                 file=sys.stderr,
             )
+    results = {}
+    for cores in (args.small, args.big):
+        best = acc[cores]["best"]
         wall = best["wall_seconds"]
         results[cores] = {
             "wall_seconds": wall,
             "pages_per_sec": round(args.n_pages / wall, 1),
             "stage_seconds": best["stage_seconds"],
-            "all_walls": walls,
-            "steal_shares": steals,
+            "all_walls": acc[cores]["walls"],
+            "steal_shares": acc[cores]["steals"],
         }
         print(f"# local[{cores}]: best {wall:.1f}s  {results[cores]['pages_per_sec']} pages/s",
               file=sys.stderr)
