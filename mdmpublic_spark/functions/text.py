@@ -17,7 +17,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 # --- pure string functions (usable from both the generator and the UDFs) ---
 
@@ -109,6 +109,23 @@ def extract_title(html: pd.Series) -> pd.Series:
     return html.map(extract_title_bytes)
 
 
+_PAGE_SCHEMA = StructType(
+    [StructField("text", StringType()), StructField("title", StringType())]
+)
+
+
+@F.pandas_udf(_PAGE_SCHEMA)
+def extract_page(html: pd.Series) -> pd.DataFrame:
+    """text + title in ONE Arrow crossing — separate UDFs ship every html
+    blob through Arrow twice (html is the widest column in the pipeline)."""
+    def both(b: bytes) -> tuple[str, str]:
+        s = b.decode("utf-8", errors="replace")
+        return extract_text_str(s), extract_title_str(s)
+
+    text, title = zip(*html.map(both)) if len(html) else ((), ())
+    return pd.DataFrame({"text": list(text), "title": list(title)})
+
+
 @F.pandas_udf(StringType())
 def normalize_text(text: pd.Series) -> pd.Series:
     return text.map(normalize_str)
@@ -130,6 +147,46 @@ def token_count(text: pd.Series) -> pd.Series:
 
 
 # --- native-function helpers (JVM-side, codegen'd — preferred hot path) ---
+
+
+def tokens_expr(text_col, max_tokens: int | None = None):
+    """JVM tokenization, equivalent to ``tokens_str``: lowercase, split on
+    non-alnum runs, drop empties (split/filter/slice stay in codegen)."""
+    toks = F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    return F.slice(toks, 1, max_tokens) if max_tokens else toks
+
+
+def shingles_from_tokens(toks_attr):
+    """3-word shingles (distinct) of a **materialized** token-array column.
+
+    ``toks_attr`` MUST be a plain column reference, not a composite
+    expression: ``F.get(expr, i)`` inside the transform lambda re-evaluates
+    ``expr`` per element — O(n²) per row (measured 10x stage blowup).
+    Project the token array into its own select first; a multiply-
+    referenced non-trivial alias survives CollapseProject.
+
+    Matches ``shingles_str`` semantics: n<3 → the whole token stream as
+    one shingle; empty → empty array."""
+    n = F.size(toks_attr)
+    sh = (
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.get(toks_attr, i),
+                    F.get(toks_attr, i + 1),
+                    F.get(toks_attr, i + 2),
+                ),
+            ),
+        )
+        .when(n > 0, F.array(F.concat_ws(" ", toks_attr)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_distinct(sh)
 
 
 def norm_domain(url_col):

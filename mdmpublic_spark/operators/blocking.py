@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from mdmpublic_spark.functions.hashing import lsh_band_keys, minhash_signature
-from mdmpublic_spark.functions.text import norm_domain, shingles, shingles_str
+from mdmpublic_spark.functions.text import (
+    norm_domain,
+    shingles_from_tokens,
+    shingles_str,
+    tokens_expr,
+)
 
 DOMAIN_PREFIX = "d:"
 
@@ -56,8 +61,12 @@ def common_shingles(
     n = pages.count() if n_docs is None else n_docs  # callers with a committed
     # row count (stage manifests) pass it in — saves a full scan job
     thr = max(min_stop_df, int(stop_frac * n))
+    # tokenize/shingle JVM-side (functions.text helpers) — the python
+    # shingle UDF made this stage worker-bound; now it is one codegen'd
+    # scan + explode + map-side-combined groupBy
+    toks = pages.select(tokens_expr(F.col("text")).alias("toks"))
     return (
-        pages.select(F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"))
+        toks.select(F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= thr)

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from mdmpublic_spark.functions.similarity import jaccard_tokens, jaro_winkler, levenshtein_ratio
-from mdmpublic_spark.functions.text import title_expr
+from mdmpublic_spark.functions.text import shingles_from_tokens, title_expr, tokens_expr
 
 SCORE_SCHEMA = StructType(
     [
@@ -241,36 +241,13 @@ def page_features(
     else:
         title = title_expr(F.col("text"), title_chars)
 
-    toks_expr = F.slice(
-        F.filter(
-            F.split(F.lower(F.col("text")), _TOKEN_SPLIT), lambda t: t != F.lit("")
-        ),
-        1,
-        _MAX_TOKENS,
-    )
     # Materialize the token array as an attribute BEFORE the shingle
-    # transform: a lambda body that references the raw split/filter
-    # expression would re-evaluate it per element × 3 gets — O(n²) per
-    # doc (measured 10× stage blowup). As a multiply-referenced
-    # non-trivial alias it survives CollapseProject, so every F.get
-    # below is an O(1) read of the computed array.
-    base = pages.select("url", title.alias("title"), toks_expr.alias("toks"))
-    toks = F.col("toks")
-    n = F.size(toks)
-    sh = (
-        F.when(
-            n >= 3,
-            F.transform(
-                F.sequence(F.lit(0), n - 3),
-                lambda i: F.concat_ws(
-                    " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-                ),
-            ),
-        )
-        .when(n > 0, F.array(F.concat_ws(" ", toks)))
-        .otherwise(F.array().cast("array<string>"))
+    # transform (see functions.text.shingles_from_tokens for why).
+    base = pages.select(
+        "url", title.alias("title"), tokens_expr(F.col("text"), _MAX_TOKENS).alias("toks")
     )
-    sh = F.array_distinct(sh)
+    toks = F.col("toks")
+    sh = shingles_from_tokens(toks)
     if stop:
         sh = F.array_except(sh, F.lit(sorted(stop)))
     # 32-bit murmur (F.hash), not xxhash64: halves the feature-array
