@@ -68,13 +68,35 @@ def minhash_signature(shingle_list: list[str]) -> list[int]:
     return sig.astype(np.int64).tolist()
 
 
-def lsh_band_keys(sig: list[int]) -> list[str]:
-    """LSH band keys: 16 bands of 4 signature slots each, rendered as strings
-    (band index prefixed so bands never collide across positions)."""
+def lsh_band_keys(sig: list[int], n_bands: int = LSH_BANDS, n_rows: int = LSH_ROWS) -> list[str]:
+    """LSH band keys: ``n_bands`` bands of ``n_rows`` signature slots each
+    (default 21×3, see LSH_BANDS above), rendered as strings with the band
+    index prefixed so bands never collide across positions."""
     return [
-        f"b{band}:" + "-".join(str(v) for v in sig[band * LSH_ROWS : (band + 1) * LSH_ROWS])
-        for band in range(LSH_BANDS)
+        f"b{band}:" + "-".join(str(v) for v in sig[band * n_rows : (band + 1) * n_rows])
+        for band in range(n_bands)
     ]
+
+
+def band_keys_expr(sig_col, n_bands: int = LSH_BANDS, n_rows: int = LSH_ROWS):
+    """JVM-side equivalent of ``lsh_band_keys`` over an array<long> signature
+    column — transform/slice/concat_ws stay inside whole-stage codegen, so
+    banding costs no Python crossing (the signature UDF is the only one)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda band: F.concat(
+            F.lit("b"),
+            band.cast("string"),
+            F.lit(":"),
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.slice(sig_col, band * F.lit(n_rows) + 1, F.lit(n_rows)),
+                    lambda v: v.cast("string"),
+                ),
+            ),
+        ),
+    )
 
 
 def band_count() -> int:
@@ -82,18 +104,19 @@ def band_count() -> int:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over the token multiset (sign of per-bit vote sums)."""
+    """64-bit SimHash over the token multiset (sign of per-bit vote sums).
+
+    Vectorized: unpack all token-hash bits at once (numpy little-endian
+    byte/bit order matches bit b == (h >> b) & 1 on little-endian hosts),
+    sum votes per bit column, pack the sign pattern back into one uint64.
+    """
     if not tokens:
         return 0
-    bits = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = _hash64_str(t)
-        for b in range(64):
-            bits[b] += 1 if (h >> b) & 1 else -1
-    v = 0
-    for b in range(64):
-        if bits[b] > 0:
-            v |= 1 << b
+    h = np.fromiter((_hash64_str(t) for t in tokens), dtype=_U64, count=len(tokens))
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(tokens)  # (+1/-1 per token)
+    packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+    v = int(packed.view(_U64)[0])
     return v - (1 << 64) if v >= 1 << 63 else v  # to signed int64
 
 

@@ -25,8 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from mdmpublic_spark.functions.hashing import lsh_keys, minhash_sig, simhash
-from mdmpublic_spark.functions.text import shingles, text_tokens
+from mdmpublic_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    band_keys_expr,
+    minhash_sig,
+    simhash,
+)
+from mdmpublic_spark.functions.text import shingles_from_tokens, text_tokens, tokens_expr
 
 TOKEN_RE = "[^a-z0-9]+"  # mirror of functions/text.py tokenization, SQL-safe
 
@@ -75,7 +81,12 @@ def token_jaccard_pairs(
     only when df_cap covers the corpus — at web scale the cap makes
     this a recall-bounded approximation, logged by the caller.
     """
-    toks = tokenized(docs, id_col).cache()
+    # No .cache() although toks feeds three branches: tokenize is one
+    # codegen'd scan-side map (cheap to recompute), while a persisted
+    # posting table pins executor memory for the caller's whole session
+    # (the leak outweighs the recompute). At warehouse scale, materialize
+    # the postings once to a table and point all three branches at it.
+    toks = tokenized(docs, id_col)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     joinable = toks.join(
@@ -102,18 +113,51 @@ def token_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
-) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact token Jaccard.
+def shingled(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → distinct (id, tok) 3-word-shingle posting rows,
+    built-ins only (tok column name kept so the verify join below is
+    shared between token and shingle modes)."""
+    return docs.select(
+        id_col, tokens_expr(F.col("text")).alias("toks")
+    ).select(id_col, F.explode(shingles_from_tokens(F.col("toks"))).alias("tok"))
 
-    shingle → 64-perm signature → band keys → bucket self-join →
-    verify candidates with one posting-list join restricted to the
-    candidate set (semi-join pushdown)."""
-    sigs = docs.select(
-        id_col, minhash_sig(shingles(F.col("text"))).alias("sig")
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    n_bands: int = LSH_BANDS,
+    n_rows: int = LSH_ROWS,
+    verify: str = "token",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by an exact Jaccard join.
+
+    shingle → 64-perm signature → band keys (JVM-side banding over the
+    signature array) → bucket self-join → verify candidates with one
+    posting-list join restricted to the candidate set (semi-join
+    pushdown).
+
+    ``verify`` picks the exact similarity that gates emission:
+      * ``"token"``   — token-set Jaccard (default; matches the pipeline's
+        cheap-first cascade semantics).
+      * ``"shingle"`` — 3-word-shingle Jaccard, i.e. the same set the
+        MinHash signature sketches. With ``n_rows=1, n_bands=64`` the
+        miss probability for a pair at Jaccard ≥ t is (1-t)^64 (< 10^-19
+        at t ≥ 0.5), so the output equals the exact shingle-Jaccard join
+        for practical purposes — this is the oracle-checkable recall-1
+        configuration (queries/training_data.py uses it).
+    """
+    # shingle arrays computed natively per doc (no shuffle): tokens must be
+    # materialized as a plain column before the shingle transform (see
+    # functions.text.shingles_from_tokens)
+    sigs = (
+        docs.select(id_col, tokens_expr(F.col("text")).alias("toks"))
+        .select(id_col, shingles_from_tokens(F.col("toks")).alias("sh"))
+        .select(id_col, minhash_sig(F.col("sh")).alias("sig"))
     )
-    banded = sigs.select(id_col, F.explode(lsh_keys(F.col("sig"))).alias("band"))
+    banded = sigs.select(
+        id_col, F.explode(band_keys_expr(F.col("sig"), n_bands, n_rows)).alias("band")
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band")
@@ -124,7 +168,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify on candidates only
-    toks = tokenized(docs, id_col)
+    toks = shingled(docs, id_col) if verify == "shingle" else tokenized(docs, id_col)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")

@@ -150,14 +150,37 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup flavor): distinct
-    unordered pairs with cosine ≥ threshold."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    unordered pairs with cosine ≥ threshold.
+
+    Scale path: hyperplane-bucket self-join per LSH table (equi-join on
+    the bucket key — never an all-pairs cross join), exact cosine verify
+    on candidates only. A pair at cosine ≥ t (angle θ = arccos t) lands
+    in the same bucket of one table with probability (1-θ/π)^n_planes;
+    missing all ``n_tables`` tables at t=0.95 with the defaults has
+    probability ≈ 2·10⁻⁴ — raise ``n_tables`` for stricter recall,
+    raise ``n_planes`` with corpus size to bound bucket occupancy
+    (≈ n/2^planes rows per bucket per table).
+    """
+    if dim is None:
+        # one tiny driver job; callers that know the dimension pass it
+        dim = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    cand = None
+    for t in range(n_tables):
+        vb = hyperplane_bucket(
+            vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+            dim, n_planes, t, "vec",
+        )
+        a = vb.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket")
+        b = vb.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+        j = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+        cand = j if cand is None else cand.unionByName(j)
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.dropDuplicates(["id_a", "id_b"])
         .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )

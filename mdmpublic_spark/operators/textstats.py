@@ -94,5 +94,12 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Winnowing-style rolling-hash fingerprints (functions/hashing.py) —
-    the compact near-identity sketch used for fast doc lookup."""
-    return docs.select(id_col, fingerprint(F.col("text")).alias("fp"))
+    the compact near-identity sketch used for fast doc lookup.
+
+    Output is exploded to scalar rows (doc_id, fp_rank, fp): fp_rank is
+    the fingerprint's position in the sorted sketch (0 = smallest window
+    hash). Scalar rows make the result joinable on fp (the lookup use
+    case) and canonically hashable by exact-comparison harnesses."""
+    return docs.select(
+        id_col, F.posexplode(fingerprint(F.col("text"))).alias("fp_rank", "fp")
+    )

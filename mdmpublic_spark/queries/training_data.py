@@ -43,7 +43,12 @@ def dd_token_jaccard_pairs(spark, sf_dir):
 
 
 def dd_minhash_pairs(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    # recall-1 configuration (64 bands × 1 row): output equals the exact
+    # shingle-Jaccard join — miss odds (1-J)^64 < 1e-19 at J ≥ 0.5 — so
+    # the DuckDB oracle below checks it exactly (dedup.minhash_lsh_pairs)
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, n_bands=64, n_rows=1, verify="shingle"
+    )
 
 
 def dd_simhash_pairs(spark, sf_dir):
@@ -51,7 +56,11 @@ def dd_simhash_pairs(spark, sf_dir):
 
 
 def dd_embedding_near_dup(spark, sf_dir):
-    return simsearch.embedding_near_dup_pairs(_vecs(spark, sf_dir), threshold=0.95)
+    # hyperplane-bucketed (no cross join); exact-cosine verify keeps the
+    # DuckDB all-pairs oracle valid (recall ≈ 1 at these settings)
+    return simsearch.embedding_near_dup_pairs(
+        _vecs(spark, sf_dir), threshold=0.95, dim=64, n_planes=4, n_tables=8
+    )
 
 
 # -------------------------------------------------------- similarity search ---
@@ -105,11 +114,17 @@ def mm_media_manifest(spark, sf_dir):
 
 
 def mm_feature_extract(spark, sf_dir):
+    # f0_count = feature[0]·n_bytes rounded back to the integer byte
+    # count (exact: float32 ratio × count round-trips below 2^24), so the
+    # DuckDB oracle can recompute it with integer arithmetic — no float
+    # representation hazard in the value hash
     feats = multimodal.extract_features(_media(spark, sf_dir), dim=16)
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 1).cast("double") * F.col("n_bytes"))
+        .cast("long")
+        .alias("f0_count"),
         F.size("feature").alias("dim"),
     )
 
@@ -149,6 +164,33 @@ ORACLES: dict[str, str] = {
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
         WHERE inter_n * 10 >= 6 * (sa.n + sb.n - inter_n)
+    """,
+    # exact shingle-Jaccard pairs ≥ 0.5 — the Spark side's 64×1-band LSH
+    # plus exact verify has miss probability < 1e-19 per qualifying pair,
+    # so the sets are equal (see dd_minhash_pairs above)
+    "dd_minhash_pairs": f"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                          list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                        ELSE [] END AS sl
+            FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+          )
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+          FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter_n, sa.n + sb.n - inter_n AS union_n
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter_n * 100 >= 50 * (sa.n + sb.n - inter_n)
     """,
     "dd_embedding_near_dup": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -214,6 +256,54 @@ ORACLES: dict[str, str] = {
                 AND alnum_chars::DOUBLE / n_tokens <= 12.0
                 AND (n_chars - alnum_chars)::DOUBLE / n_chars <= 0.6) AS keep
         FROM base
+    """,
+    # FNV rolling hash re-derived in SQL: window hash at position i equals
+    # sum(byte[i+j] · FNV^(7-j)) mod 2^64 (the expanded form of the
+    # iterated acc·FNV + byte recurrence in functions/hashing.py); the
+    # documents corpus is pure ASCII so ord(char) == utf-8 byte, and every
+    # doc is > 8 chars so only the rolling path applies
+    "ta_fingerprints": """
+        WITH codes AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                                c -> ord(c)::HUGEINT) AS cs
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, cs, unnest(generate_series(1, len(cs) - 7)) AS i FROM codes
+        ),
+        win AS (
+          SELECT doc_id,
+                 (cs[i]   * 14218562807570617051::HUGEINT +
+                  cs[i+1] * 15895002104753931833::HUGEINT +
+                  cs[i+2] * 913917546033277539::HUGEINT +
+                  cs[i+3] * 11527715348014283921::HUGEINT +
+                  cs[i+4] * 624165263380053675::HUGEINT +
+                  cs[i+5] * 956575116354345::HUGEINT +
+                  cs[i+6] * 1099511628211::HUGEINT +
+                  cs[i+7]) % 18446744073709551616::HUGEINT AS fpu
+          FROM pos
+        ),
+        ranked AS (
+          SELECT doc_id, fpu,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY fpu) - 1 AS fp_rank
+          FROM win
+        )
+        SELECT doc_id, fp_rank::INT AS fp_rank,
+               (CASE WHEN fpu >= 9223372036854775808::HUGEINT
+                     THEN fpu - 18446744073709551616::HUGEINT
+                     ELSE fpu END)::BIGINT AS fp
+        FROM ranked WHERE fp_rank < 4
+    """,
+    "mm_feature_extract": """
+        SELECT doc_id::VARCHAR AS media_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               len(list_filter(list_transform(
+                     list_filter(string_split(text, ''), c -> c != ''),
+                     c -> ord(c)),
+                   x -> x % 16 = 0))::BIGINT AS f0_count,
+               16 AS dim
+        FROM documents
     """,
     "mm_media_manifest": """
         SELECT doc_id::VARCHAR AS media_id, 'image' AS kind, 'text/plain' AS mime,
