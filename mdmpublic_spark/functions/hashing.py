@@ -57,15 +57,23 @@ def _hash64_str(s: str) -> int:
     return int.from_bytes(hashlib.sha1(s.encode("utf-8")).digest()[:8], "big")
 
 
+def minhash_signature_u64(h: np.ndarray) -> list[int]:
+    """64-permutation MinHash signature of a pre-hashed shingle set
+    (uint64 element hashes) — (a·h + b) with uint64 wraparound, min over
+    shingles per permutation; returned as a signed-int64 list for Spark
+    LongType."""
+    if h.size == 0:
+        return [0] * NUM_PERM
+    sig = (np.multiply.outer(_A, h) + _B[:, None]).min(axis=1)
+    return sig.astype(np.int64).tolist()
+
+
 def minhash_signature(shingle_list: list[str]) -> list[int]:
     """64-permutation MinHash signature of a shingle set (as int64 list)."""
     if not shingle_list:
         return [0] * NUM_PERM
     h = np.fromiter((_hash64_str(s) for s in shingle_list), dtype=_U64, count=len(shingle_list))
-    # (a*h + b) with uint64 wraparound, min over shingles per permutation
-    sig = (np.multiply.outer(_A, h) + _B[:, None]).min(axis=1)
-    # reinterpret as signed int64 for Spark LongType
-    return sig.astype(np.int64).tolist()
+    return minhash_signature_u64(h)
 
 
 def lsh_band_keys(sig: list[int], n_bands: int = LSH_BANDS, n_rows: int = LSH_ROWS) -> list[str]:
@@ -120,6 +128,52 @@ def simhash64(tokens: list[str]) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v  # to signed int64
 
 
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def spark_hash32(s: str, seed: int = 42) -> int:
+    """Spark's ``F.hash()`` of a string column, reproduced driver-side:
+    Murmur3 x86_32 over the UTF-8 bytes with Spark's byte-wise tail mix
+    (each trailing byte is mixed as its own signed-int block, unlike
+    reference Murmur3) and default seed 42. Lets driver code pre-hash
+    small lookup sets (e.g. stop shingles) into int32 plan literals that
+    compare equal to JVM-hashed columns — no Spark job, no string
+    literals in the plan. Parity is pinned by a test against F.hash."""
+    data = s.encode("utf-8")
+    h1 = seed & _M32
+    n_aligned = len(data) - len(data) % 4
+    for i in range(0, n_aligned, 4):
+        block = int.from_bytes(data[i : i + 4], "little")
+        h1 = _mix_h1(h1, _mix_k1(block))
+    for i in range(n_aligned, len(data)):
+        b = data[i]
+        b = b - 256 if b >= 128 else b  # Spark mixes *signed* tail bytes
+        h1 = _mix_h1(h1, _mix_k1(b & _M32))
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= 1 << 31 else h1  # to signed int32
+
+
 def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[int]:
     """Winnowing-style document fingerprint: rolling hash over byte windows,
     keep the `keep` smallest window hashes (deterministic, order-free)."""
@@ -143,6 +197,19 @@ def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[int]:
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_sig(shingle_col: pd.Series) -> pd.Series:
     return shingle_col.map(lambda sh: minhash_signature(list(sh)))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_sig_hashed(h_col: pd.Series) -> pd.Series:
+    """Signature from JVM-hashed shingles (array<long> of xxhash64 values,
+    reinterpreted as uint64). The Arrow crossing carries only int64
+    arrays — no per-shingle string materialization — and the whole body
+    is numpy; this is the hot-path variant used by blocking."""
+    return h_col.map(
+        lambda arr: minhash_signature_u64(
+            np.asarray(arr, dtype=np.int64).view(_U64)
+        )
+    )
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -28,15 +28,15 @@ broadcast + AQE skew split).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from mdmpublic_spark.functions.hashing import lsh_band_keys, minhash_signature
+from mdmpublic_spark.functions.hashing import lsh_band_keys, minhash_signature_u64
 from mdmpublic_spark.functions.text import (
     norm_domain,
     shingles_from_tokens,
-    shingles_str,
     tokens_expr,
 )
 
@@ -70,27 +70,38 @@ def common_shingles(
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= thr)
+        # the xxhash64 of each stop shingle rides along so consumers that
+        # suppress by *hashed* shingle (block_keys' JVM-side array_except)
+        # need no re-hashing job and no string marshalling
+        .select("shingle", "df", F.xxhash64("shingle").alias("h"))
     )
 
 
-def make_lsh_udf(stop_bc=None):
-    """Factory: text → LSH band keys, one Python crossing
-    (normalize+shingle+stop-filter+minhash+band). ``stop_bc`` is a
-    broadcast frozenset of stop shingles (corpus-adaptive boilerplate)."""
+def make_lsh_udf():
+    """Factory: hashed-shingle-array (array<long> of xxhash64 values) →
+    LSH band keys, one Python crossing whose input is pure int64 — no
+    per-shingle string ever crosses Arrow, and the minhash body is one
+    numpy broadcast-multiply-min.
+
+    Shingling, hashing AND stop-filtering all happen JVM-side upstream
+    (tokens_expr → shingles_from_tokens → xxhash64 → array_except with
+    the profile's hashes): one lowercasing/tokenizing code path feeds
+    both the stop profile and the signatures, so no Python-vs-Java
+    lowercase disagreement can leak boilerplate past the filter."""
 
     @F.pandas_udf(ArrayType(StringType()))
-    def lsh_keys_of_text(text: pd.Series) -> pd.Series:
-        stop = stop_bc.value if stop_bc is not None else frozenset()
-
-        def keys(t: str) -> list[str]:
-            sh = [s for s in shingles_str(t) if s not in stop]
+    def lsh_keys_of_hashes(h_col: pd.Series) -> pd.Series:
+        def keys(arr) -> list[str]:
+            a = np.asarray(arr, dtype=np.int64)
             # all-boilerplate page: no signal → no LSH keys (else every
             # such page would collide into one pathological block)
-            return lsh_band_keys(minhash_signature(sh)) if sh else []
+            if a.size == 0:
+                return []
+            return lsh_band_keys(minhash_signature_u64(a.view(np.uint64)))
 
-        return text.map(keys)
+        return h_col.map(keys)
 
-    return lsh_keys_of_text
+    return lsh_keys_of_hashes
 
 
 def block_keys(
@@ -98,13 +109,15 @@ def block_keys(
     use_domain: bool = True,
     use_lsh: bool = True,
     min_text_chars: int = 1,
-    stop_bc=None,
+    stop_hashes: list[int] | None = None,
 ) -> DataFrame:
     """(url, text) → (url, block_key), one row per (page, key).
 
-    Pages with empty/near-empty text get no LSH keys (their signatures
-    would all collide into one pathological block — SURVEY.md §7.4
-    item 2); they remain reachable via the domain key.
+    ``stop_hashes`` = xxhash64 values of the corpus stop shingles (the
+    ``h`` column of ``common_shingles``), excluded JVM-side before the
+    signature UDF. Pages with empty/near-empty text get no LSH keys
+    (their signatures would all collide into one pathological block —
+    SURVEY.md §7.4 item 2); they remain reachable via the domain key.
     """
     out = None
     if use_domain:
@@ -113,10 +126,18 @@ def block_keys(
         ).where(F.col("block_key").isNotNull())
         out = dom
     if use_lsh:
-        lsh_udf = make_lsh_udf(stop_bc)
+        lsh_udf = make_lsh_udf()
+        sh_h = F.transform(shingles_from_tokens(F.col("toks")), lambda s: F.xxhash64(s))
+        if stop_hashes:
+            # int64 array literal: 8 bytes per entry in the serialized
+            # plan (a Zipf head of thousands stays KB-sized), compared
+            # hash-to-hash against the same JVM xxhash64
+            sh_h = F.array_except(sh_h, F.lit(sorted(stop_hashes)).cast("array<bigint>"))
         lsh = (
             pages.where(F.length("text") >= min_text_chars)
-            .select("url", F.explode(lsh_udf(F.col("text"))).alias("block_key"))
+            .select("url", tokens_expr(F.col("text")).alias("toks"))
+            .select("url", sh_h.alias("sh_h"))
+            .select("url", F.explode(lsh_udf(F.col("sh_h"))).alias("block_key"))
         )
         out = lsh if out is None else out.unionByName(lsh)
     if out is None:

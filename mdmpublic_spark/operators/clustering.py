@@ -77,12 +77,20 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     reliable: bool = False,
+    rounds_per_check: int = 2,
 ) -> tuple[DataFrame, int]:
     """edges(src,dst) → assignments(url, cluster_id); returns (df, rounds).
 
     cluster_id = min url of the component. Only nodes that appear in an
     edge are assigned; callers give singletons their own url as id
     (golden.py does this with one left join + coalesce).
+
+    ``rounds_per_check`` fuses that many large+small star rounds into one
+    checkpoint + convergence-check job: the per-round *job floor* (driver
+    scheduling + checkpoint materialization), not the data, dominates CC
+    wall time once cores scale, and the star operators are idempotent at
+    the fixed point so checking every k-th round still terminates — at
+    worst k-1 no-op rounds run after convergence, each a near-empty job.
     """
     e = (
         edges.select(
@@ -92,13 +100,15 @@ def connected_components(
         .distinct()
     )
     # eager=False: the checkpoint materializes inside the checksum
-    # action — one Spark job per round instead of two (the per-round job
-    # floor, not the data, dominates CC wall time once cores scale).
+    # action — one Spark job per checked round instead of two.
     e = e.localCheckpoint(eager=False) if not reliable else e.checkpoint(eager=False)
     prev = _checksum(e)
     rounds = 0
-    for rounds in range(1, max_iter + 1):
-        e2 = _small_star(_large_star(e))
+    for step in range(1, max_iter + 1):
+        e2 = e
+        for _ in range(rounds_per_check):
+            e2 = _small_star(_large_star(e2))
+        rounds = step * rounds_per_check
         e2 = (
             e2.localCheckpoint(eager=False) if not reliable else e2.checkpoint(eager=False)
         )

@@ -51,12 +51,16 @@ class PairGenStats:
 DEFAULT_PREFIX_CAPS = {"d:": 100}
 
 
+MEMBERSHIP_BROADCAST_LIMIT = 2_000_000  # joinable block keys; ~100 MB broadcast
+
+
 def candidate_pairs(
     blocked: DataFrame,
     max_block_size: int = 2000,
     broadcast_threshold: int = 200,
     stats: PairGenStats | None = None,
     prefix_caps: dict[str, int] | None = DEFAULT_PREFIX_CAPS,
+    membership_broadcast_limit: int = MEMBERSHIP_BROADCAST_LIMIT,
 ) -> DataFrame:
     """(url, block_key) → distinct (url_a, url_b) with url_a < url_b.
 
@@ -71,13 +75,13 @@ def candidate_pairs(
     every drop is counted, never silent.
 
     Returns the pair DataFrame; fills ``stats`` (driver-side scalars
-    only — three small aggregate collects, no data collect).
+    only — one 3-row aggregate collect, never a per-key collect).
     """
     sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
-    # the profile feeds BOTH a driver collect (oversize/hot key stats)
-    # and the membership broadcast join; persist so blocked is scanned
-    # and aggregated once, not once per action (output is O(distinct
-    # keys), a small fraction of the blocked rows)
+    # the size profile feeds two actions (the class-stats aggregate and
+    # the classification checkpoint); persist so blocked is scanned and
+    # aggregated once, then unpersist immediately after both actions —
+    # nothing in the returned plan references it
     sizes = sizes.persist()
 
     cap_expr = F.lit(max_block_size)
@@ -86,9 +90,6 @@ def candidate_pairs(
             F.col("block_key").startswith(prefix), F.least(F.lit(cap), cap_expr)
         ).otherwise(cap_expr)
 
-    # --- profile: oversize + hot key sets (small driver-side lists) ---
-    # oversize/hot keys are few by construction (Zipf head), so collecting
-    # just the *keys* is O(head), never O(data).
     prof = (
         sizes.where(F.col("n") > 1)
         .select(
@@ -100,24 +101,47 @@ def candidate_pairs(
             .alias("cls"),
         )
     )
-    head = prof.where(F.col("cls") != "small").collect()
-    oversize_keys = [r["block_key"] for r in head if r["cls"] == "oversize"]
-    hot_keys = [r["block_key"] for r in head if r["cls"] == "hot"]
+    # --- profile stats: one distributed aggregate, ≤3 rows collected ---
+    # (never a per-key collect — a pathological key distribution cannot
+    # OOM the driver)
+    cls_rows = {
+        r["cls"]: r
+        for r in prof.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+        )
+        .collect()
+    }
+    n_joinable = sum(int(r["k"]) for r in cls_rows.values())
+    n_hot = int(cls_rows["hot"]["k"]) if "hot" in cls_rows else 0
     if stats is not None:
-        stats.oversize_blocks = len(oversize_keys)
-        stats.hot_blocks = len(hot_keys)
-        stats.dropped_pairs_est = sum(
-            r["n"] * (r["n"] - 1) // 2 for r in head if r["cls"] == "oversize"
+        stats.oversize_blocks = int(cls_rows["oversize"]["k"]) if "oversize" in cls_rows else 0
+        stats.hot_blocks = n_hot
+        stats.dropped_pairs_est = (
+            int(cls_rows["oversize"]["pairs"]) if "oversize" in cls_rows else 0
         )
 
-    # joinable membership rows: size>1 and not oversize
-    member = blocked.join(
-        F.broadcast(prof.where(F.col("cls") != "oversize").select("block_key", "cls")),
-        "block_key",
+    # classification table for the membership join: materialize via
+    # localCheckpoint so the membership join below doesn't re-aggregate
+    # `blocked`, and the persisted size profile can be released now
+    # (checkpointed partitions are freed by the context cleaner once the
+    # returned plan is garbage-collected)
+    classified = (
+        prof.where(F.col("cls") != "oversize")
+        .select("block_key", "cls")
+        .localCheckpoint(eager=True)
     )
-    # NB: broadcast of (block_key, cls) is only valid while distinct joinable
-    # keys fit in memory; at 10^12 docs swap this for a shuffle join by
-    # dropping F.broadcast — Catalyst picks sort-merge automatically.
+    sizes.unpersist()
+
+    # joinable membership rows: size>1 and not oversize. Broadcast the
+    # classification only while the joinable-key count fits in memory;
+    # beyond the limit (10^12-doc regime) fall back to a shuffle join —
+    # Catalyst picks the strategy for the un-hinted join.
+    if n_joinable <= membership_broadcast_limit:
+        member = blocked.join(F.broadcast(classified), "block_key")
+    else:
+        member = blocked.join(classified, "block_key")
 
     small = member.where(F.col("cls") == "small").select("block_key", "url")
     hot = member.where(F.col("cls") == "hot").select("block_key", "url")
@@ -135,7 +159,7 @@ def candidate_pairs(
     parts = []
     if small is not None:
         parts.append(self_join(small, broadcast_right=False))
-    if hot_keys:
+    if n_hot:
         parts.append(self_join(hot, broadcast_right=True))
     pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 

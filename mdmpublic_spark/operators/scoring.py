@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from mdmpublic_spark.functions.hashing import spark_hash32
 from mdmpublic_spark.functions.similarity import jaccard_tokens, jaro_winkler, levenshtein_ratio
 from mdmpublic_spark.functions.text import shingles_from_tokens, title_expr, tokens_expr
 
@@ -248,15 +249,22 @@ def page_features(
     )
     toks = F.col("toks")
     sh = shingles_from_tokens(toks)
-    if stop:
-        sh = F.array_except(sh, F.lit(sorted(stop)))
     # 32-bit murmur (F.hash), not xxhash64: halves the feature-array
     # bytes through shuffle + Arrow + numpy — the 32-worker score stage
     # is memory-bandwidth-bound, so volume is latency. Collision odds
     # within a ~10^2-element doc set are ~10^-6 (birthday bound) and at
     # worst nudge one Jaccard by 1/|set|.
     tok_h = F.array_sort(F.array_distinct(F.transform(toks, lambda t: F.hash(t))))
-    sh_h = F.array_sort(F.transform(sh, lambda s: F.hash(s)))
+    sh_h = F.transform(sh, lambda s: F.hash(s))
+    if stop:
+        # suppress boilerplate by *hashed* shingle: the stop set enters the
+        # plan as an int32 array literal (4 bytes/entry vs multi-word
+        # strings — a Zipf head of thousands stays KB-sized in serialized
+        # tasks) and the per-row exclusion compares ints, not strings.
+        # spark_hash32 == F.hash by construction (parity-pinned test).
+        stop_h = sorted({spark_hash32(s) for s in stop})
+        sh_h = F.array_except(sh_h, F.lit(stop_h).cast("array<int>"))
+    sh_h = F.array_sort(sh_h)
     return base.select(
         "url",
         "title",
@@ -275,6 +283,13 @@ def score_pairs(
     The features join is a plain shuffle equi-join on url (uniform key, no
     skew); at cluster scale pre-bucketing the features table by url makes
     both joins co-located (bucketed Iceberg write — see tables.py note).
+
+    Both joins carry a ``shuffle_hash`` hint on the features side: sorting
+    the pair stream widened with int64 feature arrays twice (once per SMJ)
+    measured ~4x the cost of the joins themselves. The hint is scoped here
+    — not a session default — because shuffled-hash cannot spill its build
+    side; the build side here is the narrow per-page features table, whose
+    per-partition slice is bounded by the shuffle partition count.
     """
     fa = features.select(
         F.col("url").alias("url_a"),
@@ -290,8 +305,8 @@ def score_pairs(
     )
     score_udf = make_score_udf()
     scored = (
-        pairs.join(fa, "url_a")
-        .join(fb, "url_b")
+        pairs.join(fa.hint("shuffle_hash"), "url_a")
+        .join(fb.hint("shuffle_hash"), "url_b")
         .withColumn(
             "s", score_udf("title_a", "title_b", "th_a", "th_b", "shh_a", "shh_b")
         )

@@ -95,10 +95,11 @@ def run_pipeline(
         config={"min_stop_df": cfg.min_stop_df, "stop_frac": cfg.stop_frac},
         inputs=[extracted_t],
     )
-    stop_set = frozenset(
-        r["shingle"] for r in profile_t.read(spark).select("shingle").collect()
-    )  # Zipf head only — small by construction, broadcast-safe
-    stop_bc = spark.sparkContext.broadcast(stop_set)
+    # Zipf head only — small by construction; strings feed the scoring
+    # suppression, the xxhash64 column feeds blocking's JVM-side filter
+    prof_rows = profile_t.read(spark).select("shingle", "h").collect()
+    stop_set = frozenset(r["shingle"] for r in prof_rows)
+    stop_hashes = [r["h"] for r in prof_rows]
     metrics.add("profile", "stop_shingles", len(stop_set))
 
     # 2b. block — multi-pass keys (domain + LSH bands over stopped shingles)
@@ -108,7 +109,7 @@ def run_pipeline(
             extracted,
             use_domain=cfg.use_domain_keys,
             use_lsh=cfg.use_lsh_keys,
-            stop_bc=stop_bc,
+            stop_hashes=stop_hashes,
         ),
         config={"domain": cfg.use_domain_keys, "lsh": cfg.use_lsh_keys},
         inputs=[extracted_t, profile_t],

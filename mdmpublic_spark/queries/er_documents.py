@@ -39,17 +39,15 @@ def dedup_clusters(
 ) -> DataFrame:
     """Full in-memory ER pass → (url, cluster_id) for every document."""
     pages = documents_as_pages(spark, sf_dir)
-    stop = frozenset(
-        r["shingle"]
-        for r in common_shingles(pages, min_stop_df=20, stop_frac=0.01)
-        .select("shingle")
-        .collect()
-    )
-    stop_bc = spark.sparkContext.broadcast(stop)
+    prof = common_shingles(pages, min_stop_df=20, stop_frac=0.01).select(
+        "shingle", "h"
+    ).collect()
+    stop = frozenset(r["shingle"] for r in prof)
+    stop_hashes = [r["h"] for r in prof]
     dom = pages.select(
         "url", F.concat(F.lit("d:"), F.col("source")).alias("block_key")
     )
-    lsh = block_keys(pages, use_domain=False, use_lsh=True, stop_bc=stop_bc)
+    lsh = block_keys(pages, use_domain=False, use_lsh=True, stop_hashes=stop_hashes)
     blocked = dom.unionByName(lsh)
     pairs = candidate_pairs(blocked)
     feats = page_features(pages, stop=stop)

@@ -65,13 +65,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Shuffled-hash over sort-merge when one side is small enough to
-        # hash: the scoring join streams millions of pair rows widened
-        # with int64 feature arrays — sorting that wide stream twice
-        # (once per join) was 4x the cost of the join itself (measured
-        # 226s -> 55s on the 1.5M-pair score stage). Catalyst still
-        # falls back to SMJ when neither side can build a hash map.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # NB: shuffled-hash join preference is NOT set session-wide —
+        # shuffled-hash cannot spill its build side, so a global default
+        # risks executor OOM on misestimated/skewed partitions at the
+        # 100 TB design point. The one join that measurably needs it (the
+        # score-stage features join) carries a scoped shuffle_hash hint
+        # (operators/scoring.py:score_pairs).
         # parquet scans: 128 MiB splits keep partitions executor-memory sized
         # at 100 TB (≈800k tasks — fine; Spark scheduling handles millions).
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -30,16 +30,17 @@ def start_staged_ingest(
     staging_dir: str,
     blocked_dir: str,
     checkpoint_dir: str,
-    stop_bc=None,
+    stop_hashes: list[int] | None = None,
     available_now: bool = True,
 ):
     """Start (and with available_now=True, drain) the staged-ingest query.
 
     Returns the StreamingQuery. Block keys are domain-only in streaming
     (LSH band keys need the corpus-wide stop-shingle profile, which is a
-    batch artifact; pass ``stop_bc`` to enable LSH keys with a frozen
-    profile from the last batch run — the reference's index is likewise
-    rebuilt in batch and queried incrementally).
+    batch artifact; pass ``stop_hashes`` — the profile's xxhash64 column
+    — to enable LSH keys with a frozen profile from the last batch run;
+    the reference's index is likewise rebuilt in batch and queried
+    incrementally).
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -48,8 +49,8 @@ def start_staged_ingest(
         keys = block_keys(
             extracted,
             use_domain=True,
-            use_lsh=stop_bc is not None,
-            stop_bc=stop_bc,
+            use_lsh=stop_hashes is not None,
+            stop_hashes=stop_hashes,
         )
         keys.write.mode("append").parquet(blocked_dir)
 

@@ -1,14 +1,18 @@
 """Snapshot-versioned table layer ("lakehouse-lite").
 
-The north_rule mandates Iceberg tables; this sandbox ships no Iceberg
+The design targets Iceberg tables; this sandbox ships no Iceberg
 runtime jar and has no network, so this module provides the subset of
 Iceberg semantics the pipeline depends on — atomic append/overwrite
 commits, monotonically increasing snapshot ids, snapshot history, and
 read-of-current-snapshot — as parquet data directories plus a JSON
-snapshot log. The interface is format-agnostic: when an Iceberg catalog
-is configured (``MDMPUBLIC_TABLE_FORMAT=iceberg``), the same calls map
-to ``df.writeTo(name).append()`` / ``.createOrReplace()`` and
-``spark.table(name)`` instead.
+snapshot log. The interface is format-agnostic by construction; porting
+to a real Iceberg catalog is a per-method swap, documented where it
+applies: ``overwrite`` → ``df.writeTo(name).createOrReplace()``,
+``append`` → ``df.writeTo(name).append()``, ``read`` →
+``spark.table(name)`` (+ ``VERSION AS OF`` for time travel),
+``delete_where`` → ``DELETE FROM name WHERE ...`` (row-level delete),
+``expire_snapshots`` → the Iceberg ``expire_snapshots`` procedure.
+No runtime switch pretends otherwise here.
 
 Reference analog: Couchbase buckets + ES snapshot/backup machinery —
 full/diff/accumulate backups (/root/reference/python/db_backup/
@@ -71,15 +75,17 @@ class Table:
         c = self.current()
         return c.snapshot_id if c else None
 
-    def _commit(self, snap: Snapshot) -> None:
+    def _write_log(self, snaps: list[Snapshot]) -> None:
         # write-temp-then-rename: the log update is atomic on POSIX, so a
         # reader never sees a half-written log (the crash-consistency that
         # makes stage reruns safe — uncommitted data dirs are invisible)
-        snaps = self.history() + [snap]
         tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump([vars(s) for s in snaps], f, indent=1)
         os.replace(tmp, self._log_path())
+
+    def _commit(self, snap: Snapshot) -> None:
+        self._write_log(self.history() + [snap])
 
     # --- writes ---
 
@@ -141,6 +147,56 @@ class Table:
         )
         self._commit(snap)
         return snap
+
+    def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
+        """Row-level retention delete (Iceberg ``DELETE FROM … WHERE``
+        semantics, copy-on-write flavor): rows where ``condition`` is
+        TRUE are removed; rows where it is FALSE **or NULL** survive —
+        SQL DELETE only removes rows whose predicate evaluates true.
+
+        Reference analog: the 10-day ``find -mtime +N -delete`` retention
+        policy (/root/reference/bash/backup_dir/backup_dir.sh:83-92,99)
+        and stop-old-containers TTL eviction
+        (/root/reference/jenkins_scripts/docker/stop_old_containers.sh:39-82).
+        The rewrite commits as a new snapshot, so the pre-delete state
+        remains time-travelable until ``expire_snapshots`` reclaims it.
+        """
+        from pyspark.sql import functions as F
+
+        df = self.read(spark)
+        kept = df.where(~F.coalesce(F.expr(condition), F.lit(False)))
+        return self.overwrite(kept)
+
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ts: float | None = None
+    ) -> int:
+        """Expire old snapshots (Iceberg ``expire_snapshots`` procedure):
+        drop log entries beyond the newest ``keep_last`` (or committed
+        before ``older_than_ts``) and physically remove data dirs no
+        surviving snapshot references. The current snapshot is always
+        kept. Returns the number of snapshots expired."""
+        import shutil
+
+        snaps = self.history()
+        if not snaps:
+            return 0
+        if older_than_ts is not None:
+            keep = [s for s in snaps if s.ts >= older_than_ts]
+        else:
+            keep = snaps[-max(1, keep_last):]
+        if not keep or keep[-1].snapshot_id != snaps[-1].snapshot_id:
+            keep = keep + [snaps[-1]]
+        keep_ids = {s.snapshot_id for s in keep}
+        expired = [s for s in snaps if s.snapshot_id not in keep_ids]
+        if not expired:
+            return 0
+        referenced = {d for s in keep for d in s.data_dirs}
+        for s in expired:
+            for d in s.data_dirs:
+                if d not in referenced:
+                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        self._write_log([s for s in snaps if s.snapshot_id in keep_ids])
+        return len(expired)
 
     # --- reads ---
 

@@ -1,0 +1,98 @@
+"""Tests for the table layer's retention operators (P7), the Spark-hash
+parity pin that the stop-shingle suppression relies on, and the
+candidate-pair generator's shuffle fallback path."""
+
+from __future__ import annotations
+
+import os
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from mdmpublic_spark.functions.hashing import spark_hash32
+from mdmpublic_spark.operators.pairs import PairGenStats, candidate_pairs
+from mdmpublic_spark.tables import Table
+
+
+def test_spark_hash32_matches_jvm_hash(spark):
+    """spark_hash32 must equal F.hash() bit-for-bit — page_features bakes
+    driver-side hashes of the stop set into the plan and compares them
+    against JVM-hashed shingle columns."""
+    random.seed(11)
+    samples = ["", "a", "ab", "abc", "abcd", "três çoisas ünicode ✓"] + [
+        "".join(random.choices(string.printable, k=random.randrange(1, 64)))
+        for _ in range(100)
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select("s", F.hash("s").alias("h"))
+        .collect()
+    )
+    assert all(r["h"] == spark_hash32(r["s"]) for r in rows)
+
+
+def test_delete_where_and_null_semantics(spark, tmp_path):
+    t = Table(str(tmp_path / "events"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, None), (4, 40)], "id int, age int"
+    )
+    t.overwrite(df)
+    t.delete_where(spark, "age > 20")
+    kept = {r["id"] for r in t.read(spark).collect()}
+    # NULL predicate rows survive (SQL DELETE removes only TRUE rows)
+    assert kept == {1, 3}
+    # pre-delete state is still time-travelable
+    old = {r["id"] for r in t.read(spark, snapshot_id=1).collect()}
+    assert old == {1, 2, 3, 4}
+
+
+def test_expire_snapshots_drops_old_data(spark, tmp_path):
+    t = Table(str(tmp_path / "metrics"))
+    t.overwrite(spark.range(5).toDF("v"))
+    t.append(spark.range(5, 8).toDF("v"))
+    t.append(spark.range(8, 10).toDF("v"))
+    assert len(t.history()) == 3
+    n = t.expire_snapshots(keep_last=1)
+    assert n == 2
+    assert len(t.history()) == 1
+    # current read still complete: append snapshots share data dirs, so
+    # expiring must not remove dirs the surviving snapshot references
+    assert t.read(spark).count() == 10
+    # overwrite then expire: the superseded dirs really disappear
+    t.overwrite(spark.range(3).toDF("v"))
+    dirs_before = {d for d in os.listdir(t.path) if d.startswith("data-")}
+    t.expire_snapshots(keep_last=1)
+    dirs_after = {d for d in os.listdir(t.path) if d.startswith("data-")}
+    assert dirs_after < dirs_before
+    assert t.read(spark).count() == 3
+
+
+def test_candidate_pairs_shuffle_path_matches_broadcast(spark):
+    rows = [(f"u{i:03d}", "k1") for i in range(8)] + [
+        (f"v{i:03d}", "k2") for i in range(3)
+    ] + [("w1", "lonely")]
+    blocked = spark.createDataFrame(rows, "url string, block_key string")
+    s_b, s_s = PairGenStats(), PairGenStats()
+    broadcast = candidate_pairs(blocked, stats=s_b)
+    shuffle = candidate_pairs(blocked, stats=s_s, membership_broadcast_limit=0)
+    a = {(r["url_a"], r["url_b"]) for r in broadcast.collect()}
+    b = {(r["url_a"], r["url_b"]) for r in shuffle.collect()}
+    assert a == b
+    assert len(a) == 8 * 7 // 2 + 3
+    assert vars(s_b) == vars(s_s)
+
+
+def test_candidate_pairs_stats_without_key_collect(spark):
+    """Oversize/hot accounting comes from a distributed aggregate — a
+    100-member block over the cap is dropped with the exact pair count."""
+    rows = [(f"u{i:03d}", "big") for i in range(100)] + [
+        (f"x{i}", "ok") for i in range(4)
+    ]
+    blocked = spark.createDataFrame(rows, "url string, block_key string")
+    stats = PairGenStats()
+    pairs = candidate_pairs(blocked, max_block_size=50, broadcast_threshold=10, stats=stats)
+    assert pairs.count() == 4 * 3 // 2
+    assert stats.oversize_blocks == 1
+    assert stats.dropped_pairs_est == 100 * 99 // 2
+    assert stats.hot_blocks == 0
