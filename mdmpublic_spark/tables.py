@@ -148,6 +148,24 @@ class Table:
         self._commit(snap)
         return snap
 
+    def merge_upsert(
+        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+    ) -> Snapshot:
+        """Idempotent MERGE-INTO-style upsert (Iceberg ``MERGE INTO …
+        WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` with
+        whole-row update): source rows replace target rows sharing the
+        key; unmatched target rows survive; unmatched source rows insert.
+        Running the same merge twice commits an identical table state.
+
+        Reference analog: the git-mirror sync — overlay the source tree
+        on the destination work-tree, commit only the delta, idempotent
+        on rerun (/root/reference/jenkins_scripts/jenkins/
+        replicate_git_repos.sh:99-127).
+        """
+        current = self.read(spark)
+        kept = current.join(source.select(*key_cols), key_cols, "left_anti")
+        return self.overwrite(kept.unionByName(source))
+
     def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
         """Row-level retention delete (Iceberg ``DELETE FROM … WHERE``
         semantics, copy-on-write flavor): rows where ``condition`` is

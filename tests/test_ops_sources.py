@@ -1,0 +1,106 @@
+"""Tests for the S3/S8 log-text source, S12 backup generations, and S10
+merge upsert (the query-level oracles cover row parity; these pin the
+operator semantics directly)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from mdmpublic_spark.backup import BackupManager, weekday_method
+from mdmpublic_spark.sources.logtext import (
+    expand_source_list,
+    read_event_log,
+    write_rotated_logs,
+)
+from mdmpublic_spark.tables import Table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_log_roundtrip_through_rotated_gz(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    d = str(tmp_path / "logs")
+    files = write_rotated_logs(spark, events, d)
+    assert {os.path.basename(f) for f in files} == {
+        "app.log", "app.log.1", "app.log.2.gz", "app.log.3.gz",
+    }
+    # idempotent: second call must not rewrite (marker-guarded)
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    write_rotated_logs(spark, events, d)
+    assert mtimes == {f: os.path.getmtime(f) for f in files}
+
+    parsed = read_event_log(spark, expand_source_list([f"glob:{d}/app.log*"]))
+    src = {
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"], r["props"])
+        for r in events.collect()
+    }
+    out = {
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"], r["props"])
+        for r in parsed.collect()
+    }
+    assert out == src
+
+
+def test_expand_source_list_mixed(tmp_path):
+    for n in ("a.log", "a.log.1", "a.log.2.gz"):
+        (tmp_path / n).write_text("x")
+    got = expand_source_list([f"glob:{tmp_path}/a.log*", "/explicit/path"])
+    assert got[-1] == "/explicit/path"
+    assert [os.path.basename(p) for p in got[:-1]] == ["a.log.2.gz", "a.log.1", "a.log"]
+
+
+def test_weekday_method_map():
+    mon = datetime.date(2024, 1, 1)  # a Monday
+    assert weekday_method(mon) == "full"
+    assert weekday_method(mon + datetime.timedelta(days=1)) == "diff"
+    assert weekday_method(mon + datetime.timedelta(days=2), "accu") == "accu"
+
+
+def test_backup_chain_and_point_in_time_restore(spark, tmp_path):
+    t = Table(str(tmp_path / "t"))
+    mgr = BackupManager(str(tmp_path / "bk"))
+    t.overwrite(spark.range(10).toDF("v"))
+    g1 = mgr.backup(t, "full")
+    t.append(spark.range(10, 15).toDF("v"))
+    g2 = mgr.backup(t, "diff")
+    t.append(spark.range(15, 18).toDF("v"))
+    g3 = mgr.backup(t, "accu")
+    # full stores everything; diff stores 1 new dir; accu stores both
+    # dirs added since the full (cumulative)
+    assert len(g1["stored"]) == 1 and len(g2["stored"]) == 1
+    assert len(g3["stored"]) == 2
+    # restore newest == live table
+    r = mgr.restore(str(tmp_path / "r3"))
+    assert {x["v"] for x in r.read(spark).collect()} == set(range(18))
+    # point-in-time restore at the diff generation
+    r2 = mgr.restore(str(tmp_path / "r2"), gen_id=g2["gen_id"])
+    assert {x["v"] for x in r2.read(spark).collect()} == set(range(15))
+    # incremental without a prior full falls back to full
+    mgr2 = BackupManager(str(tmp_path / "bk2"))
+    assert mgr2.backup(t, "diff")["method"] == "full"
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    t = Table(str(tmp_path / "m"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k int, v string")
+    t.merge_upsert(spark, src, ["k"])
+    state1 = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert state1 == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+    t.merge_upsert(spark, src, ["k"])
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == state1
+
+
+def test_read_event_log_drops_malformed_lines(spark, tmp_path):
+    p = tmp_path / "app.log"
+    p.write_text(
+        "2024-01-01T00:00:00 host-7 app[42]: click epoch_us=1704067200000000 "
+        'value=1.5 props={"k": 1}\n'
+        "totally not a log line\n"
+        "# comment\n"
+    )
+    rows = read_event_log(spark, str(p)).collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 42 and rows[0]["user_id"] == 7
