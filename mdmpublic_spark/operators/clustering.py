@@ -73,11 +73,38 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _union_find_assign(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find with path compression; returns node →
+    min-node-of-component (same contract as the distributed loop)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id becomes the root, so the root
+            # IS the component representative — deterministic
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x: find(x) for x in parent} | {
+        x: find(x) for uv in pairs for x in uv
+    }
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     reliable: bool = False,
-    rounds_per_check: int = 2,
+    rounds_per_check: int = 1,
+    small_graph_threshold: int = 2_000_000,
+    edge_count: int | None = None,
 ) -> tuple[DataFrame, int]:
     """edges(src,dst) → assignments(url, cluster_id); returns (df, rounds).
 
@@ -85,12 +112,22 @@ def connected_components(
     edge are assigned; callers give singletons their own url as id
     (golden.py does this with one left join + coalesce).
 
-    ``rounds_per_check`` fuses that many large+small star rounds into one
-    checkpoint + convergence-check job: the per-round *job floor* (driver
-    scheduling + checkpoint materialization), not the data, dominates CC
-    wall time once cores scale, and the star operators are idempotent at
-    the fixed point so checking every k-th round still terminates — at
-    worst k-1 no-op rounds run after convergence, each a near-empty job.
+    **Adaptive strategy** (the CC analog of a broadcast join): when the
+    distinct edge count is at most ``small_graph_threshold``, the edge
+    list is collected and solved with driver-side union-find — exact,
+    deterministic (identical min-url representatives), and free of the
+    per-round shuffle floor that dominates the distributed loop on small
+    graphs. Larger graphs run the large-star/small-star loop, whose
+    round count is O(log n) regardless of size. Pass ``edge_count`` (an
+    upper bound is fine, e.g. the scored-pair row count from the stage
+    manifest) to skip the sizing job. Rounds returned is 0 for the
+    union-find path.
+
+    ``rounds_per_check`` can fuse several star rounds per convergence
+    check; measured on this AQE setup one round per check is fastest
+    (each shuffle stage is an AQE materialization, so fusing saves no
+    stage floors and adds overshoot rounds) — kept for cluster setups
+    where driver job latency, not stage count, dominates.
     """
     e = (
         edges.select(
@@ -99,9 +136,24 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    # eager=False: the checkpoint materializes inside the checksum
-    # action — one Spark job per checked round instead of two.
-    e = e.localCheckpoint(eager=False) if not reliable else e.checkpoint(eager=False)
+    if edge_count is None or edge_count <= small_graph_threshold:
+        # eager localCheckpoint: the count sizes the strategy and the
+        # checkpointed edges feed whichever path wins without a rescan
+        e = e.localCheckpoint(eager=True) if not reliable else e.checkpoint(eager=True)
+        n_edges = e.count()
+        if n_edges <= small_graph_threshold:
+            spark = e.sparkSession
+            assign = _union_find_assign(
+                [(r["u"], r["v"]) for r in e.collect()]
+            )
+            out = spark.createDataFrame(
+                list(assign.items()), "url string, cluster_id string"
+            )
+            return out, 0
+    else:
+        # eager=False: the checkpoint materializes inside the checksum
+        # action — one Spark job per checked round instead of two.
+        e = e.localCheckpoint(eager=False) if not reliable else e.checkpoint(eager=False)
     prev = _checksum(e)
     rounds = 0
     for step in range(1, max_iter + 1):

@@ -172,7 +172,13 @@ def run_pipeline(
             .where(F.col("score") >= cfg.score_threshold)
             .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         )
-        assign, rounds = connected_components(edges, max_iter=cfg.cc_max_iter)
+        assign, rounds = connected_components(
+            edges,
+            max_iter=cfg.cc_max_iter,
+            # scored rows upper-bound the edge count — lets CC pick the
+            # union-find fast path without a sizing job when small
+            edge_count=runner.state["score"]["rows"],
+        )
         metrics.add("cluster", "cc_rounds", rounds)
         return assign
 
@@ -233,15 +239,22 @@ def main() -> None:
         "reported timings reflect a warm JVM (long-lived cluster app), not "
         "first-run JIT compilation",
     )
+    ap.add_argument(
+        "--warmup-pages",
+        default=None,
+        help="corpus for the warmup pass (default: the --pages corpus). A "
+        "small corpus warms JIT, codegen caches and Python workers at a "
+        "fraction of a full-input warmup's cost",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="mdm-pipeline", master=args.master)
     cfg = PipelineConfig(score_threshold=args.threshold, max_block_size=args.max_block_size)
-    if args.warmup:
+    if args.warmup or args.warmup_pages:
         import shutil
         import tempfile
 
         wdir = tempfile.mkdtemp(prefix="mdm-warmup-")
-        run_pipeline(spark, args.pages, wdir, cfg)
+        run_pipeline(spark, args.warmup_pages or args.pages, wdir, cfg)
         shutil.rmtree(wdir, ignore_errors=True)
     print(json.dumps(run_pipeline(spark, args.pages, args.work_dir, cfg)))
 

@@ -96,3 +96,32 @@ def test_candidate_pairs_stats_without_key_collect(spark):
     assert stats.oversize_blocks == 1
     assert stats.dropped_pairs_est == 100 * 99 // 2
     assert stats.hot_blocks == 0
+
+
+def test_cc_union_find_equals_distributed(spark):
+    """The adaptive small-graph fast path must produce exactly the
+    distributed large-star/small-star assignment (same min-id
+    representatives), including chains that need multiple star rounds."""
+    import random
+
+    from mdmpublic_spark.operators.clustering import connected_components
+
+    random.seed(5)
+    edges = []
+    for c in range(200):
+        size = random.randrange(2, 9)
+        nodes = [f"n{c:04d}x{i}" for i in range(size)]
+        random.shuffle(nodes)
+        for i in range(size - 1):
+            edges.append((nodes[i], nodes[i + 1]))
+    # a long chain (worst case for label propagation, fine for stars)
+    chain = [f"chain{i:03d}" for i in range(60)]
+    edges += list(zip(chain, chain[1:]))
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    fast, r_fast = connected_components(df)
+    dist, r_dist = connected_components(df, small_graph_threshold=0)
+    assert r_fast == 0 and r_dist >= 1
+    a = {(r["url"], r["cluster_id"]) for r in fast.collect()}
+    b = {(r["url"], r["cluster_id"]) for r in dist.collect()}
+    assert a == b

@@ -61,7 +61,7 @@ def steal_share(before: dict, after: dict) -> float:
     return d["steal"] / total
 
 
-def run_once(pages: str, master: str, pkg_zip: str) -> dict:
+def run_once(pages: str, master: str, pkg_zip: str, warmup_pages: str | None = None) -> dict:
     work = tempfile.mkdtemp(prefix="mdm-scale-")
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
@@ -79,7 +79,10 @@ def run_once(pages: str, master: str, pkg_zip: str) -> dict:
         "--pages", pages,
         "--work-dir", work,
         "--master", master,
-        "--warmup",  # report warm-JVM timings (long-lived app steady state)
+        # report warm-JVM timings (long-lived app steady state); a small
+        # warmup corpus warms JIT/codegen/Python workers without paying a
+        # full-input pass per measurement
+        "--warmup-pages", warmup_pages or pages,
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
@@ -97,6 +100,8 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--big", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--warmup-pages", type=int, default=20000,
+                    help="size of the small warmup corpus (0 = warm up on the full input)")
     ap.add_argument("--report", default=None, help="markdown file to append the table to")
     args = ap.parse_args()
 
@@ -105,6 +110,9 @@ def main() -> None:
     pkg = package_zip()
     corpus = ensure_corpus(args.n_pages)
     pages = os.path.join(corpus, "pages.parquet")
+    warmup = None
+    if args.warmup_pages and args.warmup_pages < args.n_pages:
+        warmup = os.path.join(ensure_corpus(args.warmup_pages), "pages.parquet")
 
     # interleave configs (rep-major) so slow ambient-noise drift on the
     # shared VM hits both parallelism levels evenly instead of whichever
@@ -113,7 +121,7 @@ def main() -> None:
     for rep in range(args.repeats):
         for cores in (args.small, args.big):
             t0 = read_cpu_ticks()
-            info = run_once(pages, f"local[{cores}]", pkg)
+            info = run_once(pages, f"local[{cores}]", pkg, warmup_pages=warmup)
             st = steal_share(t0, read_cpu_ticks())
             a = acc[cores]
             a["walls"].append(info["wall_seconds"])
