@@ -189,6 +189,49 @@ def shingles_from_tokens(toks_attr):
     return F.array_distinct(sh)
 
 
+def token_hashes_expr(toks_attr):
+    """xxhash64 of each token of a **materialized** token-array column —
+    each token's string is hashed exactly once; all downstream shingle
+    work is long arithmetic."""
+    return F.transform(toks_attr, lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_from_token_hashes(th_attr):
+    """Distinct 64-bit shingle ids of the 3-word shingles, computed from a
+    **materialized** token-hash array (see ``token_hashes_expr``) — no
+    shingle string is ever built and no token string is hashed twice.
+
+    ``xxhash64(h_i, h_{i+1}, h_{i+2})`` chains the three 8-byte token
+    hashes (no concat ambiguity — tokens hash individually). The
+    string-shingle variant left profile/block/features allocation-bound
+    at 32 local cores (GC-limited, near-zero 8→32 scaling at 800k
+    pages); this keeps the whole map side in primitive longs. Same n<3
+    fallback as ``shingles_from_tokens``: the whole token stream as one
+    shingle (chain of all its hashes, here n ∈ {1,2}); empty → empty.
+
+    Every consumer that must agree on shingle identity (the stop-shingle
+    profile, LSH blocking, scoring suppression) derives from THIS
+    function, so a shingle's 64-bit id has one definition everywhere.
+    """
+    n = F.size(th_attr)
+    return F.array_distinct(
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.xxhash64(
+                    F.get(th_attr, i),
+                    F.get(th_attr, i + 1),
+                    F.get(th_attr, i + 2),
+                ),
+            ),
+        )
+        .when(n == 2, F.array(F.xxhash64(F.get(th_attr, 0), F.get(th_attr, 1))))
+        .when(n == 1, F.array(F.xxhash64(F.get(th_attr, 0))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def norm_domain(url_col):
     """Normalized domain: host of the url, lowercased, `www.` stripped.
 

@@ -36,7 +36,8 @@ from pyspark.sql.types import ArrayType, StringType
 from mdmpublic_spark.functions.hashing import lsh_band_keys, minhash_signature_u64
 from mdmpublic_spark.functions.text import (
     norm_domain,
-    shingles_from_tokens,
+    shingle_hashes_from_token_hashes,
+    token_hashes_expr,
     tokens_expr,
 )
 
@@ -47,7 +48,8 @@ def common_shingles(
     pages: DataFrame, min_stop_df: int = 20, stop_frac: float = 0.005, n_docs: int | None = None
 ) -> DataFrame:
     """Corpus profile: shingles whose document frequency marks them as
-    boilerplate ("stop shingles") → (shingle, df).
+    boilerplate ("stop shingles") → (h, h32, df) — identified by hash
+    only, never materialized as strings.
 
     Same-template pages share navigation/footer text; those shingles
     carry no identity signal but inflate both LSH candidate volume and
@@ -55,25 +57,31 @@ def common_shingles(
     the fixtures). DF threshold = max(min_stop_df, stop_frac·n_docs):
     genuine duplicate content has DF ≈ cluster size (small), boilerplate
     has DF ≈ a constant fraction of the corpus, so the two are separable
-    at any scale. The aggregation is one map-side-combined groupBy whose
-    output is only the high-DF head (Zipf: tiny), safe to broadcast.
+    at any scale.
+
+    Shingle identity is the 64-bit combined token hash
+    (functions.text.shingle_hashes_from_token_hashes) — the whole profile
+    aggregation runs on primitive longs. Building shingle *strings* here
+    left the stage allocation-bound and non-scaling at 32 cores (200s at
+    800k pages, ~no speedup 8→32); the hashed groupBy keeps map-side
+    partial aggregation, shuffle and the final filter in codegen'd
+    primitive ops. ``h32`` = murmur32 of the 64-bit id, for consumers
+    whose feature arrays are int32 (operators/scoring.py).
     """
     n = pages.count() if n_docs is None else n_docs  # callers with a committed
     # row count (stage manifests) pass it in — saves a full scan job
     thr = max(min_stop_df, int(stop_frac * n))
-    # tokenize/shingle JVM-side (functions.text helpers) — the python
-    # shingle UDF made this stage worker-bound; now it is one codegen'd
-    # scan + explode + map-side-combined groupBy
-    toks = pages.select(tokens_expr(F.col("text")).alias("toks"))
+    # each projection materializes its array before the next transform
+    # references it element-wise (see functions.text docstrings)
+    th = pages.select(tokens_expr(F.col("text")).alias("toks")).select(
+        token_hashes_expr(F.col("toks")).alias("th")
+    )
     return (
-        toks.select(F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"))
-        .groupBy("shingle")
+        th.select(F.explode(shingle_hashes_from_token_hashes(F.col("th"))).alias("h"))
+        .groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= thr)
-        # the xxhash64 of each stop shingle rides along so consumers that
-        # suppress by *hashed* shingle (block_keys' JVM-side array_except)
-        # need no re-hashing job and no string marshalling
-        .select("shingle", "df", F.xxhash64("shingle").alias("h"))
+        .select("h", F.hash("h").alias("h32"), "df")
     )
 
 
@@ -84,8 +92,8 @@ def make_lsh_udf():
     numpy broadcast-multiply-min.
 
     Shingling, hashing AND stop-filtering all happen JVM-side upstream
-    (tokens_expr → shingles_from_tokens → xxhash64 → array_except with
-    the profile's hashes): one lowercasing/tokenizing code path feeds
+    (tokens_expr → token_hashes_expr → shingle_hashes_from_token_hashes
+    → array_except with the profile's ids): one tokenizing code path feeds
     both the stop profile and the signatures, so no Python-vs-Java
     lowercase disagreement can leak boilerplate past the filter."""
 
@@ -127,15 +135,16 @@ def block_keys(
         out = dom
     if use_lsh:
         lsh_udf = make_lsh_udf()
-        sh_h = F.transform(shingles_from_tokens(F.col("toks")), lambda s: F.xxhash64(s))
+        sh_h = shingle_hashes_from_token_hashes(F.col("th"))
         if stop_hashes:
             # int64 array literal: 8 bytes per entry in the serialized
             # plan (a Zipf head of thousands stays KB-sized), compared
-            # hash-to-hash against the same JVM xxhash64
+            # hash-to-hash against the profile's identical combined hash
             sh_h = F.array_except(sh_h, F.lit(sorted(stop_hashes)).cast("array<bigint>"))
         lsh = (
             pages.where(F.length("text") >= min_text_chars)
             .select("url", tokens_expr(F.col("text")).alias("toks"))
+            .select("url", token_hashes_expr(F.col("toks")).alias("th"))
             .select("url", sh_h.alias("sh_h"))
             .select("url", F.explode(lsh_udf(F.col("sh_h"))).alias("block_key"))
         )

@@ -40,9 +40,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from mdmpublic_spark.functions.hashing import spark_hash32
 from mdmpublic_spark.functions.similarity import jaccard_tokens, jaro_winkler, levenshtein_ratio
-from mdmpublic_spark.functions.text import shingles_from_tokens, title_expr, tokens_expr
+from mdmpublic_spark.functions.text import (
+    shingle_hashes_from_token_hashes,
+    title_expr,
+    token_hashes_expr,
+    tokens_expr,
+)
 
 SCORE_SCHEMA = StructType(
     [
@@ -220,21 +224,26 @@ _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
 def page_features(
-    pages: DataFrame, title_chars: int = 80, stop=None
+    pages: DataFrame, title_chars: int = 80, stop_hashes32: list[int] | None = None
 ) -> DataFrame:
     """(url, text[, title]) → (url, title, tok_h, sh_h) — the narrow
     scoring projection, entirely JVM-side (no Python crossing):
 
-      tok_h  sorted distinct 32-bit hashes of the first ``_MAX_TOKENS``
-             normalized tokens,
-      sh_h   sorted distinct 32-bit hashes of the 3-word shingles of those
-             tokens, minus the ``stop`` boilerplate shingles.
+      tok_h  sorted distinct 32-bit hashes (murmur of the 64-bit xxhash64
+             token id) of the first ``_MAX_TOKENS`` normalized tokens,
+      sh_h   sorted distinct 32-bit hashes (murmur of the 64-bit combined
+             shingle id, functions.text.shingle_hashes_from_token_hashes)
+             of the 3-word shingles of those tokens, minus the
+             ``stop_hashes32`` boilerplate shingles (the profile's h32
+             column — same derivation chain, so ids compare exactly).
 
-    Tokenize/shingle/hash are all built-in expressions (split, slice,
-    transform+get, hash) so the whole projection stays inside
-    whole-stage codegen and the feature arrays cross Arrow as int64 —
-    see make_score_udf for why that matters. Uses the real html <title>
-    when present; empty titles fall back to a text prefix."""
+    No shingle string is ever materialized — tokenize/hash-chain/mask are
+    all built-in primitive-typed expressions, so the projection stays
+    inside whole-stage codegen, allocates no window strings (the string
+    variant was GC-bound and stopped scaling at 32 cores), and the
+    feature arrays cross Arrow as ints — see make_score_udf for why that
+    matters. Uses the real html <title> when present; empty titles fall
+    back to a text prefix."""
     if "title" in pages.columns:
         title = F.coalesce(
             F.nullif(F.col("title"), F.lit("")), title_expr(F.col("text"), title_chars)
@@ -242,27 +251,27 @@ def page_features(
     else:
         title = title_expr(F.col("text"), title_chars)
 
-    # Materialize the token array as an attribute BEFORE the shingle
-    # transform (see functions.text.shingles_from_tokens for why).
+    # Materialize the token array, then the token-HASH array, each as its
+    # own attribute BEFORE element-wise reference (see functions.text
+    # docstrings: F.get over a composite expression re-evaluates it per
+    # element). Each token string is hashed exactly once (xxhash64);
+    # everything after is long/int arithmetic.
     base = pages.select(
         "url", title.alias("title"), tokens_expr(F.col("text"), _MAX_TOKENS).alias("toks")
-    )
-    toks = F.col("toks")
-    sh = shingles_from_tokens(toks)
-    # 32-bit murmur (F.hash), not xxhash64: halves the feature-array
-    # bytes through shuffle + Arrow + numpy — the 32-worker score stage
-    # is memory-bandwidth-bound, so volume is latency. Collision odds
-    # within a ~10^2-element doc set are ~10^-6 (birthday bound) and at
-    # worst nudge one Jaccard by 1/|set|.
-    tok_h = F.array_sort(F.array_distinct(F.transform(toks, lambda t: F.hash(t))))
-    sh_h = F.transform(sh, lambda s: F.hash(s))
-    if stop:
-        # suppress boilerplate by *hashed* shingle: the stop set enters the
-        # plan as an int32 array literal (4 bytes/entry vs multi-word
-        # strings — a Zipf head of thousands stays KB-sized in serialized
-        # tasks) and the per-row exclusion compares ints, not strings.
-        # spark_hash32 == F.hash by construction (parity-pinned test).
-        stop_h = sorted({spark_hash32(s) for s in stop})
+    ).select("url", "title", token_hashes_expr(F.col("toks")).alias("th"))
+    th = F.col("th")
+    # 32-bit murmur (F.hash), not the raw 64-bit ids: halves the
+    # feature-array bytes through shuffle + Arrow + numpy — the 32-worker
+    # score stage is memory-bandwidth-bound, so volume is latency.
+    # Collision odds within a ~10^2-element doc set are ~10^-6 (birthday
+    # bound) and at worst nudge one Jaccard by 1/|set|.
+    tok_h = F.array_sort(F.array_distinct(F.transform(th, lambda h: F.hash(h))))
+    sh_h = F.transform(shingle_hashes_from_token_hashes(th), lambda h: F.hash(h))
+    if stop_hashes32:
+        # boilerplate suppression on int32 ids: the stop set enters the
+        # plan as an int32 array literal (4 bytes/entry — a Zipf head of
+        # thousands stays KB-sized in serialized tasks)
+        stop_h = sorted(set(stop_hashes32))
         sh_h = F.array_except(sh_h, F.lit(stop_h).cast("array<int>"))
     sh_h = F.array_sort(sh_h)
     return base.select(

@@ -95,12 +95,12 @@ def run_pipeline(
         config={"min_stop_df": cfg.min_stop_df, "stop_frac": cfg.stop_frac},
         inputs=[extracted_t],
     )
-    # Zipf head only — small by construction; strings feed the scoring
-    # suppression, the xxhash64 column feeds blocking's JVM-side filter
-    prof_rows = profile_t.read(spark).select("shingle", "h").collect()
-    stop_set = frozenset(r["shingle"] for r in prof_rows)
+    # Zipf head only — small by construction; the 64-bit ids feed
+    # blocking's JVM-side filter, the 32-bit ids feed scoring suppression
+    prof_rows = profile_t.read(spark).select("h", "h32").collect()
     stop_hashes = [r["h"] for r in prof_rows]
-    metrics.add("profile", "stop_shingles", len(stop_set))
+    stop_hashes32 = [r["h32"] for r in prof_rows]
+    metrics.add("profile", "stop_shingles", len(prof_rows))
 
     # 2b. block — multi-pass keys (domain + LSH bands over stopped shingles)
     blocked_t = runner.run_stage(
@@ -146,7 +146,9 @@ def run_pipeline(
     # shingle arrays per side doubled the stage's JVM work.
     features_t = runner.run_stage(
         "features",
-        lambda: page_features(extracted, title_chars=cfg.title_chars, stop=stop_set),
+        lambda: page_features(
+            extracted, title_chars=cfg.title_chars, stop_hashes32=stop_hashes32
+        ),
         config={"title_chars": cfg.title_chars},
         inputs=[extracted_t, profile_t],
     )

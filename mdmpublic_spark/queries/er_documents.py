@@ -40,17 +40,17 @@ def dedup_clusters(
     """Full in-memory ER pass → (url, cluster_id) for every document."""
     pages = documents_as_pages(spark, sf_dir)
     prof = common_shingles(pages, min_stop_df=20, stop_frac=0.01).select(
-        "shingle", "h"
+        "h", "h32"
     ).collect()
-    stop = frozenset(r["shingle"] for r in prof)
     stop_hashes = [r["h"] for r in prof]
+    stop_hashes32 = [r["h32"] for r in prof]
     dom = pages.select(
         "url", F.concat(F.lit("d:"), F.col("source")).alias("block_key")
     )
     lsh = block_keys(pages, use_domain=False, use_lsh=True, stop_hashes=stop_hashes)
     blocked = dom.unionByName(lsh)
     pairs = candidate_pairs(blocked)
-    feats = page_features(pages, stop=stop)
+    feats = page_features(pages, stop_hashes32=stop_hashes32)
     _, edges = score_pairs(pairs, feats, threshold=threshold)
     assign, _ = connected_components(edges.select("src", "dst"))
     return (

@@ -61,12 +61,24 @@ def steal_share(before: dict, after: dict) -> float:
     return d["steal"] / total
 
 
-def run_once(pages: str, master: str, pkg_zip: str, warmup_pages: str | None = None) -> dict:
+def run_once(
+    pages: str,
+    master: str,
+    pkg_zip: str,
+    warmup_pages: str | None = None,
+    pin_cpus: int | None = None,
+) -> dict:
     work = tempfile.mkdtemp(prefix="mdm-scale-")
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
-    cmd = [
+    # Pin the WHOLE application (JVM task threads + Python UDF workers +
+    # GC) to exactly `pin_cpus` cores. Without pinning, a local[8] run on
+    # a 32-core box lets its 8 Python workers ride the 24 idle cores —
+    # the "small cluster" silently uses ~2x its share, understating true
+    # scaling. "Cluster of N" means N cores of machine, not N task slots.
+    pin = ["taskset", "-c", f"0-{pin_cpus - 1}"] if pin_cpus else []
+    cmd = pin + [
         spark_submit,
         "--master", master,
         "--py-files", pkg_zip,
@@ -100,6 +112,8 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--big", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--no-pin", dest="pin", action="store_false", default=True,
+                    help="don't taskset-pin each config to its core budget")
     ap.add_argument("--warmup-pages", type=int, default=20000,
                     help="size of the small warmup corpus (0 = warm up on the full input)")
     ap.add_argument("--report", default=None, help="markdown file to append the table to")
@@ -121,7 +135,13 @@ def main() -> None:
     for rep in range(args.repeats):
         for cores in (args.small, args.big):
             t0 = read_cpu_ticks()
-            info = run_once(pages, f"local[{cores}]", pkg, warmup_pages=warmup)
+            info = run_once(
+                pages,
+                f"local[{cores}]",
+                pkg,
+                warmup_pages=warmup,
+                pin_cpus=cores if args.pin else None,
+            )
             st = steal_share(t0, read_cpu_ticks())
             a = acc[cores]
             a["walls"].append(info["wall_seconds"])
