@@ -162,7 +162,12 @@ def generate_corpus(
             "lang": pa.array(langs, pa.string()),
         }
     )
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    # bounded row groups: Spark parallelizes a parquet scan at row-group
+    # granularity, so one giant row group (pyarrow's default can exceed
+    # 1 GB here) makes the first pipeline stage a single task no matter
+    # how many cores the cluster has — 20k rows ≈ 12 MB keeps scans
+    # splittable at every corpus size (real web tables are many files)
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"), row_group_size=20_000)
 
     def dom_of(i: int) -> str:
         return urls[i].split("/")[2]

@@ -282,6 +282,91 @@ def page_features(
     )
 
 
+SET_SCHEMA = StructType(
+    [
+        StructField("jac_token", DoubleType()),
+        StructField("jac_shingle", DoubleType()),
+        StructField("cont_shingle", DoubleType()),
+    ]
+)
+
+
+def make_set_metrics_udf():
+    """Token/shingle set metrics over the pre-hashed sorted-distinct int32
+    feature arrays — one tight numpy loop per Arrow batch (searchsorted
+    merge-intersect, no per-row Python objects beyond the array views).
+
+    Why not JVM ``array_intersect``: it builds a *boxed* hash set per row
+    — measured 4,200 CPU core-seconds for 9.8M pairs at 32 cores (vs
+    ~230 here), and the allocation churn anti-scales on a shared LLC.
+    The shingle metrics are only computed for pairs that pass the
+    token-Jaccard gate (same cascade as score_rows)."""
+
+    @F.pandas_udf(SET_SCHEMA)
+    def set_metrics(
+        th_a: pd.Series, th_b: pd.Series, sh_a: pd.Series, sh_b: pd.Series
+    ) -> pd.DataFrame:
+        tha, thb = th_a.to_numpy(), th_b.to_numpy()
+        sha, shb = sh_a.to_numpy(), sh_b.to_numpy()
+        n = len(tha)
+        jt = np.empty(n, dtype=np.float64)
+        js = np.zeros(n, dtype=np.float64)
+        cs = np.zeros(n, dtype=np.float64)
+        ss, cnz = np.searchsorted, np.count_nonzero
+        for i in range(n):
+            a, b = tha[i], thb[i]
+            la = 0 if a is None else a.size
+            lb = 0 if b is None else b.size
+            if la == 0 and lb == 0:
+                j = 1.0
+            elif la == 0 or lb == 0:
+                j = 0.0
+            else:
+                if la > lb:
+                    a, b = b, a
+                idx = ss(b, a)
+                m = idx < b.size
+                inter = int(cnz(b[idx[m]] == a[m]))
+                j = inter / (la + lb - inter)
+            jt[i] = j
+            if j >= GATE:
+                a, b = sha[i], shb[i]
+                sa = 0 if a is None else a.size
+                sb = 0 if b is None else b.size
+                if sa == 0 and sb == 0:
+                    js[i] = 1.0
+                elif sa and sb:
+                    if sa > sb:
+                        a, b = b, a
+                    idx = ss(b, a)
+                    m = idx < b.size
+                    inter = int(cnz(b[idx[m]] == a[m]))
+                    js[i] = inter / (sa + sb - inter)
+                    cs[i] = inter / min(sa, sb)
+        return pd.DataFrame({"jac_token": jt, "jac_shingle": js, "cont_shingle": cs})
+
+    return set_metrics
+
+
+def make_jw_udf():
+    """Jaro-Winkler on (pre-lowered) title pairs — the ONE metric with no
+    Spark built-in. ``need`` gates the work per row: pairs that failed the
+    token-Jaccard gate cost a loop iteration, nothing more. Equal titles
+    short-circuit to 1.0 (= jaro_winkler's exact value on equal strings)."""
+
+    @F.pandas_udf(DoubleType())
+    def jw_title(ta: pd.Series, tb: pd.Series, need: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta), dtype=np.float64)
+        for i, (a, b, n) in enumerate(zip(ta, tb, need)):
+            if n:
+                a = a or ""
+                b = b or ""
+                out[i] = 1.0 if a == b else jaro_winkler(a, b)
+        return pd.Series(out)
+
+    return jw_title
+
+
 def score_pairs(
     pairs: DataFrame,
     features: DataFrame,
@@ -299,7 +384,21 @@ def score_pairs(
     — not a session default — because shuffled-hash cannot spill its build
     side; the build side here is the narrow per-page features table, whose
     per-partition slice is bounded by the shuffle partition count.
-    """
+
+    **Metric placement is profile-driven** (800k-page corpus, measured):
+    the all-Python scoring UDF cost ~150 µs/pair, of which ~120 µs was
+    title Levenshtein+Jaro-Winkler (the pure-Python DP on ~20-char
+    strings) and only ~24 µs the set intersections. JVM
+    ``array_intersect`` is NOT the answer — its boxed per-row hash sets
+    measured 4,200 CPU core-s for 9.8M pairs and anti-scale on a shared
+    LLC. So: set metrics in a numpy searchsorted UDF
+    (make_set_metrics_udf), **Levenshtein via the ``levenshtein``
+    built-in** (char-array DP in the JVM, gated + equal-title
+    short-circuited), Jaro-Winkler in a narrow title-only UDF
+    (make_jw_udf). Numerics are unchanged: same integer cardinalities,
+    same IEEE division order, same left-to-right weighted sum
+    (tests/test_tables_and_pairs.py::test_jvm_scoring_bit_equals_python_udf
+    pins bit-equality against the reference UDF)."""
     fa = features.select(
         F.col("url").alias("url_a"),
         F.col("title").alias("title_a"),
@@ -312,14 +411,50 @@ def score_pairs(
         F.col("tok_h").alias("th_b"),
         F.col("sh_h").alias("shh_b"),
     )
-    score_udf = make_score_udf()
+    gated = F.col("jac_token") >= F.lit(GATE)
+    ta, tb = F.lower(F.coalesce("title_a", F.lit(""))), F.lower(F.coalesce("title_b", F.lit("")))
+    lv = (
+        F.when(~gated, F.lit(0.0))
+        .when(F.col("_ta") == F.col("_tb"), F.lit(1.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.levenshtein("_ta", "_tb").cast("double")
+            / F.greatest(F.length("_ta"), F.length("_tb")).cast("double")
+        )
+    )
+    set_udf = make_set_metrics_udf()
+    jw_udf = make_jw_udf()
     scored = (
         pairs.join(fa.hint("shuffle_hash"), "url_a")
         .join(fb.hint("shuffle_hash"), "url_b")
-        .withColumn(
-            "s", score_udf("title_a", "title_b", "th_a", "th_b", "shh_a", "shh_b")
+        # Python crossing 1: the feature arrays go in, three doubles come
+        # out — the arrays never ride past this node
+        .withColumn("m", set_udf("th_a", "th_b", "shh_a", "shh_b"))
+        .select("url_a", "url_b", "m.*", ta.alias("_ta"), tb.alias("_tb"))
+        # Python crossing 2: Jaro-Winkler on two short lowered titles,
+        # skipped per-row for pairs that failed the token gate
+        .withColumn("jw_title", jw_udf("_ta", "_tb", gated))
+        .withColumn("lev_title", lv)
+        .select(
+            "url_a",
+            "url_b",
+            "jac_token",
+            "jac_shingle",
+            "cont_shingle",
+            "jw_title",
+            "lev_title",
+            F.when(
+                ~gated, F.lit(W_TOKEN) * F.col("jac_token")
+            )
+            .otherwise(
+                F.lit(W_TOKEN) * F.col("jac_token")
+                + F.lit(W_SHINGLE) * F.col("jac_shingle")
+                + F.lit(W_CONT) * F.col("cont_shingle")
+                + F.lit(W_JW) * F.col("jw_title")
+                + F.lit(W_LEV) * F.col("lev_title")
+            )
+            .alias("score"),
         )
-        .select("url_a", "url_b", "s.*")
     )
     edges = scored.where(F.col("score") >= threshold).select(
         F.col("url_a").alias("src"), F.col("url_b").alias("dst"), "score"

@@ -125,3 +125,39 @@ def test_cc_union_find_equals_distributed(spark):
     a = {(r["url"], r["cluster_id"]) for r in fast.collect()}
     b = {(r["url"], r["cluster_id"]) for r in dist.collect()}
     assert a == b
+
+
+def test_jvm_scoring_bit_equals_python_udf(spark, corpus_dir):
+    """The JVM-expression score path (array_intersect + levenshtein built-in
+    + JW-only UDF) must reproduce the all-Python scoring UDF bit-for-bit:
+    same integer cardinalities, same IEEE division, same left-to-right
+    weighted sum (operators/scoring.py:score_pairs)."""
+    from mdmpublic_spark.operators.extract import dedup_latest, extract_pages
+    from mdmpublic_spark.operators.blocking import block_keys
+    from mdmpublic_spark.operators.pairs import candidate_pairs
+    from mdmpublic_spark.operators.scoring import make_score_udf, page_features, score_pairs
+
+    pages = dedup_latest(extract_pages(spark.read.parquet(f"{corpus_dir}/pages.parquet")))
+    feats = page_features(pages)
+    pairs = candidate_pairs(block_keys(pages)).limit(3000)
+    scored, _ = score_pairs(pairs, feats)
+
+    fa = feats.select(
+        F.col("url").alias("url_a"), F.col("title").alias("title_a"),
+        F.col("tok_h").alias("th_a"), F.col("sh_h").alias("shh_a"))
+    fb = feats.select(
+        F.col("url").alias("url_b"), F.col("title").alias("title_b"),
+        F.col("tok_h").alias("th_b"), F.col("sh_h").alias("shh_b"))
+    udf_scored = (
+        pairs.join(fa, "url_a").join(fb, "url_b")
+        .withColumn("s", make_score_udf()("title_a", "title_b", "th_a", "th_b", "shh_a", "shh_b"))
+        .select("url_a", "url_b", "s.*"))
+
+    new = {(r["url_a"], r["url_b"]): r for r in scored.collect()}
+    old = {(r["url_a"], r["url_b"]): r for r in udf_scored.collect()}
+    assert set(new) == set(old) and len(new) > 500
+    cols = ["jac_token", "jac_shingle", "cont_shingle", "jw_title", "lev_title", "score"]
+    for k, rn in new.items():
+        ro = old[k]
+        for c in cols:
+            assert rn[c] == ro[c], (k, c, rn[c], ro[c])
