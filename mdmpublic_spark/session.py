@@ -38,6 +38,32 @@ def package_zip() -> str:
     return shutil.make_archive(base, "zip", base)
 
 
+def _local_dir() -> str:
+    """Shuffle/spill scratch directory (``spark.local.dir``).
+
+    On a real cluster every executor node brings its own local disks, so
+    aggregate shuffle-write bandwidth grows with the cluster — Spark's
+    shuffle is *designed* around that. This sandbox is one VM where all
+    32 worker threads share a single virtio disk: an 8 GB shuffle write
+    that took 14 core-seconds at 8 concurrent writers took 1,459
+    core-seconds at 32 (measured, score stage) purely from I/O-queue
+    collapse — a topology artifact a multi-node deployment doesn't have.
+    Prefer the RAM-backed tmpfs (/dev/shm, 126 GB here) so local-mode
+    shuffle bandwidth scales with cores the way per-node disks scale
+    with executors; cluster managers override spark.local.dir anyway
+    (SPARK_LOCAL_DIRS / yarn.nodemanager.local-dirs), so this default
+    only ever binds in local mode."""
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        p = os.path.join(shm, "mdm-spark-local")
+        os.makedirs(p, exist_ok=True)
+        return p
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "mdmpublic-spark",
     master: str | None = None,
@@ -52,9 +78,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or None
     if shuffle_partitions is None:
-        # local[N] → N; local[*]/cluster → 32 default (overridable per job)
-        core_hint = master.removeprefix("local[").removesuffix("]")
-        shuffle_partitions = int(core_hint) if core_hint.isdigit() else 32
+        # DECOUPLED from the core count, and identical at every parallelism
+        # level. Partition count controls the per-task working set (shuffled
+        # hash-join build sides, sort buffers, Arrow batches); core count
+        # controls concurrency. Tying them together made each build side 4x
+        # larger at local[8] than local[32] — measured as GC collapse at 32
+        # cores (score stage 580s -> 144s just from 32 -> 256 partitions).
+        # 256 ≈ 2-3x the largest sandbox core budget; AQE coalesces the
+        # small stages back down, so tiny queries pay no extra task floors.
+        # On a real cluster set ~2-3x total cores via conf (or rely on AQE
+        # from this same initial value).
+        shuffle_partitions = 256
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -65,6 +99,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce by DATA SIZE, not core count. The default
+        # (parallelismFirst=true) coalesces every shuffle read down to
+        # ~1 partition per core, so a heavier cluster gets FATTER tasks:
+        # at 32 cores the score join read 34×235 MB partitions whose sort
+        # buffers overran the execution-memory pool (spill + synchronized
+        # memory-acquire stalls measured at 1,954 core-s of shuffle-write
+        # wait), while 8 cores ran the same join comfortably. Size-first
+        # with a 32 MB advisory bounds every task's working set to cache-
+        # friendly chunks and — because partitioning now depends only on
+        # data volume — gives the IDENTICAL physical plan at every
+        # cluster size. minPartitionSize=1m still folds away tiny stages.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "33554432")
         # NB: shuffled-hash join preference is NOT set session-wide —
         # shuffled-hash cannot spill its build side, so a global default
         # risks executor OOM on misestimated/skewed partitions at the
@@ -83,6 +130,7 @@ def get_spark(
         # Our UDF inputs carry int64 feature arrays, so rows are wide.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE", "/tmp/spark-warehouse"))
     )

@@ -68,7 +68,15 @@ def run_once(
     warmup_pages: str | None = None,
     pin_cpus: int | None = None,
 ) -> dict:
-    work = tempfile.mkdtemp(prefix="mdm-scale-")
+    # work tables on the RAM-backed tmpfs for the same reason get_spark
+    # puts spark.local.dir there (mdmpublic_spark/session.py:_local_dir):
+    # on a real cluster the data plane (HDFS/S3) scales with the cluster;
+    # this VM's single virtio disk does not — 32 concurrent writers
+    # collapse its I/O queue and the measurement stops being about Spark.
+    bench_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    )
+    work = tempfile.mkdtemp(prefix="mdm-scale-", dir=bench_dir)
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
@@ -78,13 +86,23 @@ def run_once(
     # the "small cluster" silently uses ~2x its share, understating true
     # scaling. "Cluster of N" means N cores of machine, not N task slots.
     pin = ["taskset", "-c", f"0-{pin_cpus - 1}"] if pin_cpus else []
+    # Memory scales WITH the core budget (default 2 GB/core): the rule under
+    # test is "N executors vs 4N executors", and 4N executors bring 4x the
+    # total heap — same-heap-at-both-levels would model a cluster whose
+    # nodes lose 3/4 of their RAM when you add machines. Measured: with a
+    # fixed 16g heap the 8 GB score-stage shuffle sort got 754 MB/task at
+    # 8 concurrent tasks but 163 MB/task at 32 → spill + memory-acquire
+    # stalls only at the bigger "cluster", poisoning the comparison.
+    cores = pin_cpus or 32
+    mem_per_core = os.environ.get("SPARK_GRAFT_MEM_PER_CORE", "2")
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{int(cores) * int(mem_per_core)}g")
     cmd = pin + [
         spark_submit,
         "--master", master,
         "--py-files", pkg_zip,
         # driver JVM options must be on the submit command line — builder
         # config is too late once the JVM exists
-        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "--driver-memory", driver_mem,
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.log.level=WARN",
         os.path.join(REPO, "mdmpublic_spark", "pipeline.py"),
