@@ -75,13 +75,26 @@ def run_pipeline(
     par = cfg.repartition or int(spark.conf.get("spark.sql.shuffle.partitions"))
     raw = spark.read.parquet(pages_path).repartition(par)
 
+    def _spread(df: DataFrame) -> DataFrame:
+        """Guarantee map-side parallelism ≥ the cluster width for
+        UDF-heavy consumers of a stage table. Parquet scans bin-pack
+        small files (openCostInBytes), so a sandbox-scale table reads
+        as a handful of splits no matter how many cores exist — the
+        minhash/feature map stages then run 8-wide at any cluster size.
+        At 100 TB the scan yields ≫cores splits and this is a no-op;
+        the check is plan-time only (no job)."""
+        width = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < width:
+            return df.repartition(width)
+        return df
+
     # 1. extract — deterministic html→text, newest capture per url
     extracted_t = runner.run_stage(
         "extract",
         lambda: dedup_latest(extract_pages(raw)),
         config={"src": pages_path},
     )
-    extracted = extracted_t.read(spark)
+    extracted = _spread(extracted_t.read(spark))
 
     # 2a. profile — corpus-adaptive boilerplate ("stop shingles") by DF
     profile_t = runner.run_stage(

@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mdmpublic_spark.queries import ops_sources, relational, training_data
+from mdmpublic_spark.queries import coverage, ops_sources, relational, training_data
 from mdmpublic_spark.queries.er_documents import dedup_cluster_summary
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -49,6 +49,7 @@ def _ensure() -> None:
     relational.register_all(register)
     training_data.register_all(register)
     ops_sources.register_all(register)
+    coverage.register_all(register)
     # ER flagship — MinHash-LSH + iterative CC: not SQL-expressible,
     # driver records the rows-only check
     register("er_dedup_cluster_summary", dedup_cluster_summary)

@@ -99,18 +99,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Coalesce by DATA SIZE, not core count. The default
-        # (parallelismFirst=true) coalesces every shuffle read down to
-        # ~1 partition per core, so a heavier cluster gets FATTER tasks:
-        # at 32 cores the score join read 34×235 MB partitions whose sort
-        # buffers overran the execution-memory pool (spill + synchronized
-        # memory-acquire stalls measured at 1,954 core-s of shuffle-write
-        # wait), while 8 cores ran the same join comfortably. Size-first
-        # with a 32 MB advisory bounds every task's working set to cache-
-        # friendly chunks and — because partitioning now depends only on
-        # data volume — gives the IDENTICAL physical plan at every
-        # cluster size. minPartitionSize=1m still folds away tiny stages.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE coalescing: 32 MB advisory bounds every task's working set
+        # (cache-friendly, spill-free — measured: the score join at 256
+        # size-bounded partitions ran 580s -> 144s vs core-tied counts),
+        # while parallelismFirst=true keeps the coalesce FLOOR at the
+        # default parallelism. The floor matters because shuffle-byte
+        # size is a poor proxy for downstream CPU: a few-MB shuffle that
+        # feeds an Arrow-UDF map (minhash, scoring) coalesced to 1-2
+        # partitions serializes the whole stage onto 1-2 cores — event-log
+        # measured 1-2-task stages of 3-11s each while 30 cores idled.
+        # With initial partitions fixed at 256 (decoupled from cores,
+        # above), big shuffles are unaffected by the floor: 256 stays 256.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "33554432")
         # NB: shuffled-hash join preference is NOT set session-wide —
         # shuffled-hash cannot spill its build side, so a global default
