@@ -153,6 +153,23 @@ def s6_array_map(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- §2.10 grouped map ---
+
+
+def g1_block_pair_scores(spark, sf_dir):
+    """Per-block in-memory pairwise scoring (applyInPandas GROUPED_MAP —
+    the §2.10 per-group surface): block documents by token-count decile,
+    score every within-block pair with distinct-token Jaccard inside one
+    Arrow group batch. Blocking key + tokenization are JVM-side; Python
+    only enumerates pairs."""
+    from mdmpublic_spark.operators.groupscore import block_pair_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    blocked = docs.withColumn("block", F.floor(n_toks / 10).cast("int"))
+    return block_pair_scores(blocked)
+
+
 # ------------------------------------------------------------- oracles ---
 
 ORACLES: dict[str, str] = {
@@ -185,6 +202,22 @@ ORACLES: dict[str, str] = {
                len(toks)::BIGINT AS n_via_map
         FROM t
     """,
+    "g1_block_pair_scores": """
+        WITH t AS (
+            SELECT doc_id,
+                   (len(list_filter(string_split(text, ' '), x -> x <> '')) // 10)::INT AS block,
+                   list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+            FROM documents
+        )
+        SELECT a.block,
+               a.doc_id AS id_a,
+               b.doc_id AS id_b,
+               CASE WHEN len(list_distinct(a.toks || b.toks)) = 0 THEN 0.0
+                    ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(list_distinct(a.toks || b.toks))
+               END AS jac
+        FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+    """,
 }
 
 _FNS = {
@@ -193,6 +226,7 @@ _FNS = {
     "p4_comment_strip": p4_comment_strip,
     "p8_existence_probe": p8_existence_probe,
     "s6_array_map": s6_array_map,
+    "g1_block_pair_scores": g1_block_pair_scores,
 }
 
 

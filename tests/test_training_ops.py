@@ -105,3 +105,33 @@ def test_multimodal_checksum_and_features(spark, docs):
     assert sorted(map(lambda r: (r["media_id"], tuple(r["feature"])), feats)) == sorted(
         map(lambda r: (r["media_id"], tuple(r["feature"])), feats2)
     )
+
+
+def test_block_pair_scores_grouped_map(spark):
+    """applyInPandas block scorer: exact pair set + Jaccard on a tiny
+    hand-checked corpus; oversize blocks are dropped, never scored."""
+    from mdmpublic_spark.operators.groupscore import block_pair_scores
+
+    rows = [
+        (1, "a b c", 0),
+        (2, "a b d", 0),
+        (3, "x y", 0),
+        (4, "big block", 1),
+        (5, "big block", 1),
+        (6, "big block", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, block int")
+    out = {
+        (r["id_a"], r["id_b"]): (r["block"], r["jac"])
+        for r in block_pair_scores(df, max_block=2).collect()
+    }
+    # block 0 has 3 docs > max_block=2 -> dropped; block 1 same
+    assert out == {}
+    out = {
+        (r["id_a"], r["id_b"]): (r["block"], round(r["jac"], 6))
+        for r in block_pair_scores(df, max_block=10).collect()
+    }
+    assert out[(1, 2)] == (0, 0.5)  # {a,b,c} vs {a,b,d}: 2/4
+    assert out[(1, 3)] == (0, 0.0)
+    assert out[(4, 5)] == (1, 1.0)
+    assert len(out) == 6  # C(3,2) per block x 2 blocks
