@@ -153,6 +153,64 @@ def s6_array_map(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------- §2.9 streaming ---
+
+
+def _landing_dir(sf_dir: str) -> str:
+    # key the fixture by input AND serialization format so a format bump
+    # invalidates any previously-written landing dir
+    from mdmpublic_spark.streaming.sources import EVENT_TS_FORMAT
+
+    tag = hashlib.sha1(f"{sf_dir}|{EVENT_TS_FORMAT}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"mdm_eventstream_{tag}")
+
+
+def _ensure_landing(spark, sf_dir) -> str:
+    """Deterministic streaming fixture: the events table serialized as a
+    json-lines landing directory (the append-only log feed shape). Written
+    once per scale factor; every query run streams it from a FRESH
+    checkpoint so offsets replay from zero and the result is a pure
+    function of the input."""
+    from mdmpublic_spark.streaming.sources import events_to_landing
+
+    d = _landing_dir(sf_dir)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        events_to_landing(_t(spark, sf_dir, "events")).write.mode("overwrite").json(d)
+    return d
+
+
+def _drain(stream_df, name: str):
+    """availableNow → complete-mode memory sink → final snapshot DF."""
+    from mdmpublic_spark.streaming.monitors import run_available_now_complete
+
+    ckpt = tempfile.mkdtemp(prefix=f"mdm-ckpt-{name}-")
+    return run_available_now_complete(stream_df, ckpt, name)
+
+
+def st_windowed_counts(spark, sf_dir):
+    """Structured Streaming tumbling-window trend counts (§2.9), run for
+    real: file-source json stream → watermarked 1-day window groupBy →
+    availableNow drain; the returned rows are the sink table. Counts
+    only (exact), so the batch-SQL oracle must hash-match."""
+    from mdmpublic_spark.streaming.monitors import windowed_event_counts
+    from mdmpublic_spark.streaming.sources import events_stream
+
+    ev = events_stream(spark, _ensure_landing(spark, sf_dir))
+    win = windowed_event_counts(ev).select("win_start_epoch", "event_type", "n")
+    return _drain(win, "st_windowed_counts")
+
+
+def st_session_windows(spark, sf_dir):
+    """Structured Streaming gap-based sessionization (§2.9) run for real.
+    Spark's session_window end = last event + gap; the SQL oracle
+    replicates that islands-and-gaps semantics exactly."""
+    from mdmpublic_spark.streaming.monitors import session_windows
+    from mdmpublic_spark.streaming.sources import events_stream
+
+    ev = events_stream(spark, _ensure_landing(spark, sf_dir))
+    return _drain(session_windows(ev), "st_session_windows")
+
+
 # ----------------------------------------------------- §2.10 grouped map ---
 
 
@@ -202,6 +260,37 @@ ORACLES: dict[str, str] = {
                len(toks)::BIGINT AS n_via_map
         FROM t
     """,
+    "st_windowed_counts": """
+        SELECT (floor(floor(epoch(ts)) / 86400) * 86400)::BIGINT AS win_start_epoch,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    # session_window semantics: windows [t, t+gap) merge when they
+    # overlap, so a NEW session starts when t - prev_t >= gap (compared
+    # in exact integer microseconds); end = last event + gap.
+    "st_session_windows": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS t_us FROM events
+        ), marked AS (
+            SELECT user_id, t_us,
+                   CASE WHEN lag(t_us) OVER w IS NULL
+                             OR t_us - lag(t_us) OVER w >= 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+        ), sess AS (
+            SELECT user_id, t_us,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               floor(min(t_us) / 1000000)::BIGINT AS session_start_epoch,
+               (floor(max(t_us) / 1000000) + 1800)::BIGINT AS session_end_epoch,
+               (floor(max(t_us) / 1000000) + 1800
+                - floor(min(t_us) / 1000000))::BIGINT AS duration_seconds,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
     "g1_block_pair_scores": """
         WITH t AS (
             SELECT doc_id,
@@ -226,6 +315,8 @@ _FNS = {
     "p4_comment_strip": p4_comment_strip,
     "p8_existence_probe": p8_existence_probe,
     "s6_array_map": s6_array_map,
+    "st_windowed_counts": st_windowed_counts,
+    "st_session_windows": st_session_windows,
     "g1_block_pair_scores": g1_block_pair_scores,
 }
 

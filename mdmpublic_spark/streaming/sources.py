@@ -19,6 +19,7 @@ stays O(new files), not O(history).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PAGES_SCHEMA = T.StructType(
@@ -54,12 +55,32 @@ def pages_stream(
     return reader.parquet(landing_dir)
 
 
+# Event timestamps are microsecond-resolution. JSON timestamp *format
+# options* are a trap here (TimestampType and TimestampNTZType read
+# different option keys, and the default pattern truncates to millis),
+# so the landing format carries `ts` as Spark's canonical timestamp
+# string (`cast(ts as string)` — lossless, variable-length micros) and
+# the reader casts it back. String→timestamp cast is format-option-free
+# and exact in a UTC session.
+EVENT_TS_FORMAT = "cast-string-v2"  # landing-format version tag
+
+_EVENTS_WIRE_SCHEMA = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.StringType()) for f in EVENTS_SCHEMA]
+)
+
+
+def events_to_landing(events: DataFrame) -> DataFrame:
+    """Project an events DataFrame into the json-lines landing shape."""
+    return events.withColumn("ts", F.col("ts").cast("string"))
+
+
 def events_stream(
     spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Append-only event-log stream (json lines — the reference's log
     streams are line-oriented text; Spark reads .gz transparently)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    reader = spark.readStream.schema(_EVENTS_WIRE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.json(landing_dir)
+    df = reader.json(landing_dir)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
