@@ -128,3 +128,36 @@ def test_staged_ingest_incremental(spark, corpus_dir, tmp_path):
     # blocked index covers every staged page at least via its domain key
     bk = spark.read.parquet(blocked)
     assert bk.select("url").distinct().count() == n_total
+
+
+def test_landing_roundtrip_lossless(spark, tmp_path):
+    """events_to_landing → json → events_stream must preserve event
+    timestamps exactly (microsecond resolution) — the format-option trap
+    this guards against: JSON timestampFormat/timestampNTZFormat apply to
+    different column types and default patterns truncate to millis."""
+    from mdmpublic_spark.streaming.sources import events_to_landing
+
+    ev = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .limit(500)
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    d = str(tmp_path / "landing")
+    events_to_landing(
+        ev.select(
+            "event_id",
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("t").alias("event_type"),
+            "ts",
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    ).write.json(d)
+
+    out_dir = str(tmp_path / "out")
+    run_available_now(events_stream(spark, d), str(tmp_path / "ck"), out_dir)
+    got = spark.read.parquet(out_dir).select("event_id", "ts")
+
+    orig = {r["event_id"]: r["ts"] for r in ev.collect()}
+    back = {r["event_id"]: r["ts"] for r in got.collect()}
+    assert back == orig  # exact, including microseconds
