@@ -130,6 +130,24 @@ def get_spark(
         # Our UDF inputs carry int64 feature arrays, so rows are wide.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Fixed-size heap + throughput GC (only binds when this call
+        # actually launches the JVM; pyspark passes pre-context builder
+        # conf to spark-submit). This sandbox VM is thin-provisioned:
+        # first-touched guest pages pay host-side faults, so G1's
+        # grow/uncommit/recommit cycle re-pays them forever — measured as
+        # 56-96% kernel/sys CPU at local[32] and a 2x stage-wall hit
+        # (tools/bench_scaling.py has the A/B numbers). Xms=Xmx ends the
+        # commit churn; ParallelGC never uncommits and was 3x faster than
+        # G1 on the Arrow-churn score stage. No AlwaysPreTouch here: that
+        # belongs to the measured long-lived bench processes, not to
+        # short pytest/driver sessions where startup latency matters.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} -XX:+UseParallelGC",
+            ),
+        )
         .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE", "/tmp/spark-warehouse"))
