@@ -53,6 +53,31 @@ def s3_log_parse(spark, sf_dir):
     return read_event_log(spark, _ensure_logs(spark, sf_dir))
 
 
+def s8_dynamic_sources(spark, sf_dir):
+    """S8 proper — dynamic source-list expansion as its own operator:
+    a manifest mixing ``glob:`` entries (the aged gz generations, whose
+    names only exist at plan time) with literal paths (the live log and
+    its first rotation) is expanded driver-side by
+    ``expand_source_list`` and fed to ONE ``spark.read.text`` call —
+    the Spark-first analog of the reference's ``eval:`` file-list
+    entries (jenkins_scripts/jenkins/collect_files.sh:85-118). The
+    per-type counts must equal the events table's, proving the
+    expansion covered every generation exactly once."""
+    d = _log_dir(sf_dir)
+    write_rotated_logs(spark, _events(spark, sf_dir), d)
+    manifest = [
+        f"glob:{d}/app.log.*.gz",   # computed at plan time
+        f"{d}/app.log.1",           # literal entries pass through
+        f"{d}/app.log",
+    ]
+    paths = expand_source_list(manifest)
+    ev = read_event_log(spark, paths)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
 def s3_log_sessions(spark, sf_dir):
     """The ssh_login_report shape: per-user session summary carved out of
     the raw log text (first/last activity, event count, error count)."""
@@ -131,6 +156,12 @@ ORACLES: dict[str, str] = {
     "s3_log_parse": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
     """,
+    "s8_dynamic_sources": """
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        FROM events GROUP BY event_type
+    """,
     "s3_log_sessions": """
         SELECT user_id,
                count(*) AS n_events,
@@ -154,6 +185,7 @@ ORACLES: dict[str, str] = {
 
 _FNS = {
     "s3_log_parse": s3_log_parse,
+    "s8_dynamic_sources": s8_dynamic_sources,
     "s3_log_sessions": s3_log_sessions,
     "p7_retention_delete": p7_retention_delete,
     "s10_merge_upsert": s10_merge_upsert,
