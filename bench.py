@@ -6,6 +6,12 @@ end-to-end with the noop sink (full computation, no driver collect
 bottleneck). The ER dedup query runs the complete blocking + scoring +
 clustering pass over the documents table.
 
+Before timing, every headline query runs once at sf0.001 (WARMUP_SF_DIR)
+to warm JIT/codegen/Python-worker pools: the numbers then measure
+steady-state query cost, not one-time JVM startup — the regime a
+long-lived application on a real cluster actually runs in. Set
+SPARK_GRAFT_NO_WARMUP=1 to skip (cold-session mode).
+
 The N-vs-4N scaling study (BASELINE rule) lives in
 tools/bench_scaling.py and reports into BENCH.md.
 """
@@ -34,6 +40,9 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -43,6 +52,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="mdm-bench")
     qs = registry.queries()
+
+    if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(WARMUP_SF_DIR):
+        for name in HEADLINE:
+            force(qs[name](spark, WARMUP_SF_DIR))
 
     timings: dict[str, float] = {}
     total = 0.0
