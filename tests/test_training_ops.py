@@ -135,3 +135,27 @@ def test_block_pair_scores_grouped_map(spark):
     assert out[(1, 3)] == (0, 0.0)
     assert out[(4, 5)] == (1, 1.0)
     assert len(out) == 6  # C(3,2) per block x 2 blocks
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """Planted near-duplicates (cosine ≥ 0.999 perturbations) must all be
+    recovered by the hyperplane-bucketed path, with zero false positives
+    and NO cartesian product anywhere in the physical plan."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # plant a near-dup twin: tiny perturbation
+            twin = v + rng.normal(scale=1e-3, size=64)
+            rows.append((1000 + i, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.embedding_near_dup_pairs(
+        df, threshold=0.99, dim=64, n_planes=4, n_tables=8
+    )
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    want = {(i, 1000 + i) for i in range(0, 40, 4)}
+    assert got == want
