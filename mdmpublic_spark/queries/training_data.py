@@ -80,6 +80,14 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def ann_ivf_topk(spark, sf_dir):
+    # partial probe (6/16 cells): the honest approximate path — rows-only
+    # for the driver (pytest pins exactness at full probe + recall here)
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 10)
+    return simsearch.ivf_ann_topk(vecs, queries, k=5, n_centroids=16, n_probe=6)
+
+
 # ----------------------------------------------------------- text analysis ---
 
 
@@ -329,6 +337,7 @@ _FNS = {
     "dd_embedding_near_dup": dd_embedding_near_dup,
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ta_token_stats": ta_token_stats,
     "ta_language_id": ta_language_id,
     "ta_quality_scores": ta_quality_scores,

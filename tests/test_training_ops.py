@@ -48,6 +48,63 @@ def test_lsh_ann_deterministic(spark, vecs):
     assert a == b
 
 
+def test_ivf_full_probe_equals_brute_force(spark, vecs):
+    """Probing every cell (n_probe == n_centroids) makes IVF exact: the
+    result must equal brute_force_topk row for row."""
+    queries = vecs.where(F.col("vec_id") < 10)
+    truth = sorted(
+        map(tuple, simsearch.brute_force_topk(vecs, queries, k=5).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            simsearch.ivf_ann_topk(
+                vecs, queries, k=5, n_centroids=8, n_probe=8
+            ).collect(),
+        )
+    )
+    assert full == truth
+
+
+def test_ivf_partial_probe_recall_and_determinism(spark, vecs):
+    """With n_probe < n_centroids, IVF skips cells but must keep useful
+    recall on the fixtures, and be bit-stable across runs."""
+    queries = vecs.where(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.brute_force_topk(vecs, queries, k=5).collect()
+    }
+    run = lambda: sorted(  # noqa: E731
+        map(
+            tuple,
+            simsearch.ivf_ann_topk(
+                vecs, queries, k=5, n_centroids=16, n_probe=6
+            ).collect(),
+        )
+    )
+    a = run()
+    recall = len({(q, n) for q, n, _ in a} & truth) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    assert a == run()
+
+
+def test_ivf_centroids_deterministic_sample(spark, vecs):
+    """Centroids are a hash sample: same set at any parallelism, dense
+    0..n-1 ids, vectors drawn from the corpus itself."""
+    c1 = {
+        r["centroid_id"]: tuple(r["cvec"])
+        for r in simsearch.ivf_centroids(vecs, 8).collect()
+    }
+    c2 = {
+        r["centroid_id"]: tuple(r["cvec"])
+        for r in simsearch.ivf_centroids(vecs.repartition(7), 8).collect()
+    }
+    assert c1 == c2
+    assert sorted(c1) == list(range(8))
+    corpus_vecs = {tuple(r["embedding"]) for r in vecs.collect()}
+    assert set(c1.values()) <= corpus_vecs
+
+
 def test_simhash_bucket_completeness(spark, docs):
     """Pigeonhole guarantee: every pair within hamming ≤ 3 must be found
     by the 4-band bucketing — verify against an exhaustive small join."""
