@@ -200,6 +200,32 @@ def st_windowed_counts(spark, sf_dir):
     return _drain(win, "st_windowed_counts")
 
 
+def st_alarm_hysteresis(spark, sf_dir):
+    """Custom stateful streaming operator (§2.9/§2.10) run for real:
+    applyInPandasWithState per-key raise/clear alarm state machine over
+    the event stream (append mode → file sink → read back). Rows-only
+    for the driver: an ordered per-key state machine is genuinely not
+    SQL-expressible; tests/test_streaming.py pins the semantics against
+    a driver-side single-pass oracle and across micro-batch boundaries.
+
+    Deterministic despite file-order nondeterminism: the whole landing
+    dir drains in ONE micro-batch and the operator orders each key's
+    rows by (ts, event_id) before walking the state machine."""
+    from mdmpublic_spark.streaming.sources import events_stream
+    from mdmpublic_spark.streaming.stateful import alarm_hysteresis
+
+    ev = events_stream(spark, _ensure_landing(spark, sf_dir))
+    # threshold at the ~p75 of the value distribution → breaches are
+    # common enough that raise/clear flips happen on every scale fixture
+    tr = alarm_hysteresis(ev, threshold=69.0, raise_after=2, clear_after=2)
+    from mdmpublic_spark.streaming.monitors import run_available_now
+
+    out = tempfile.mkdtemp(prefix="mdm-hyst-out-")
+    ckpt = tempfile.mkdtemp(prefix="mdm-ckpt-st_alarm_hysteresis-")
+    run_available_now(tr, ckpt, out)
+    return spark.read.parquet(out)
+
+
 def st_session_windows(spark, sf_dir):
     """Structured Streaming gap-based sessionization (§2.9) run for real.
     Spark's session_window end = last event + gap; the SQL oracle
@@ -316,6 +342,7 @@ _FNS = {
     "p8_existence_probe": p8_existence_probe,
     "s6_array_map": s6_array_map,
     "st_windowed_counts": st_windowed_counts,
+    "st_alarm_hysteresis": st_alarm_hysteresis,
     "st_session_windows": st_session_windows,
     "g1_block_pair_scores": g1_block_pair_scores,
 }

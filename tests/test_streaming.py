@@ -100,6 +100,77 @@ def test_session_windows_runs(spark, landing, tmp_path):
     assert all(r["duration_seconds"] >= 0 and r["n_events"] >= 1 for r in rows)
 
 
+def test_alarm_hysteresis_stateful(spark, tmp_path):
+    """applyInPandasWithState per-key raise/clear state machine: state
+    must carry ACROSS micro-batches (maxFilesPerTrigger=1 forces one
+    batch per landing file) and the emitted transitions must equal a
+    single-pass driver-side walk of the globally ordered stream."""
+    from mdmpublic_spark.streaming.stateful import (
+        alarm_hysteresis,
+        hysteresis_reference,
+    )
+
+    ev = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(3000)
+        .collect()
+    )
+    vals = sorted(r["value"] for r in ev)
+    threshold = vals[int(len(vals) * 0.4)]  # breaches common → many flips
+
+    # land the timeline in two ordered chunks → two micro-batches
+    d = tmp_path / "hyst_landing"
+    d.mkdir()
+    half = len(ev) // 2
+    for i, chunk in enumerate((ev[:half], ev[half:])):
+        with open(d / f"chunk{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "user_id": r["user_id"],
+                            "event_type": "t",
+                            "ts": str(r["ts"]),
+                            "value": r["value"],
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = events_stream(spark, str(d), max_files_per_trigger=1)
+    out = str(tmp_path / "transitions")
+    run_available_now(
+        alarm_hysteresis(stream, threshold=threshold, raise_after=2, clear_after=2),
+        str(tmp_path / "ck"),
+        out,
+    )
+    got = sorted(
+        (r["user_id"], r["ts"], r["transition"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        hysteresis_reference(
+            ((r["user_id"], r["event_id"], r["ts"], r["value"]) for r in ev),
+            threshold,
+            raise_after=2,
+            clear_after=2,
+        )
+    )
+    assert len(want) > 10  # the fixture must actually exercise flips
+    assert got == want
+    # alternation invariant: per key, raise and clear strictly alternate
+    per_key: dict = {}
+    for uid, ts, tr, _v in got:
+        per_key.setdefault(uid, []).append(tr)
+    for seq in per_key.values():
+        assert seq[0] == "raise"
+        assert all(a != b for a, b in zip(seq, seq[1:]))
+
+
 def test_staged_ingest_incremental(spark, corpus_dir, tmp_path):
     """Two micro-batch drains over a growing landing dir: the staging
     table ends up with every page extracted exactly once (checkpoint
