@@ -89,12 +89,19 @@ def p5_threshold_gate(spark, sf_dir):
 
 
 def p6_time_window(spark, sf_dir):
-    """P6 time-window predicate via epoch arithmetic (tz-independent)."""
+    """P6 time-window predicate, written so it PUSHES DOWN: comparing
+    the ts column to timestamp literals reaches the parquet reader as
+    PushedFilters (row-group/partition skipping at scale); the previous
+    ``unix_timestamp(ts) >= epoch`` form wrapped the column in a
+    function and forced a full post-scan filter. Semantics identical:
+    floor(epoch(ts)) >= lo ⟺ ts >= lo for integer bounds, and the
+    bounds are tz-free against the NTZ column."""
     ev = _t(spark, sf_dir, "events")
-    lo = 1704844800  # 2024-01-10T00:00:00Z
-    hi = 1705708800  # 2024-01-20T00:00:00Z
-    epoch = F.unix_timestamp("ts")
-    return ev.where((epoch >= lo) & (epoch < hi)).select("event_id", "event_type")
+    lo = F.to_timestamp_ntz(F.lit("2024-01-10 00:00:00"))  # epoch 1704844800
+    hi = F.to_timestamp_ntz(F.lit("2024-01-20 00:00:00"))  # epoch 1705708800
+    return ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+        "event_id", "event_type"
+    )
 
 
 def j1_broadcast_lookup(spark, sf_dir):
