@@ -371,8 +371,22 @@ def score_pairs(
     pairs: DataFrame,
     features: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
+    embeddings: DataFrame | None = None,
+    w_cos: float = 0.25,
 ):
     """pairs(url_a,url_b) ⨝ features×2 → scored pairs; returns (scored, edges).
+
+    ``embeddings`` (optional): a (url, embedding array<double>) table.
+    When given, a ``cos_emb`` column (JVM-side cosine, no Python
+    crossing) joins the cascade and the blended score becomes
+    ``score + w_cos·cos_emb`` for gated pairs — the reference cascade's
+    "optional embedding cosine" term. Pairs whose urls lack an
+    embedding contribute 0 for the term (left join, coalesce), so a
+    partially-embedded corpus degrades gracefully instead of dropping
+    pairs. The embedding join uses the same scoped shuffle_hash shape
+    as the features joins (narrow build side, no sort of the pair
+    stream). Default ``embeddings=None`` leaves the plan and scores
+    bit-identical to the base cascade.
 
     The features join is a plain shuffle equi-join on url (uniform key, no
     skew); at cluster scale pre-bucketing the features table by url makes
@@ -424,13 +438,52 @@ def score_pairs(
     )
     set_udf = make_set_metrics_udf()
     jw_udf = make_jw_udf()
-    scored = (
+    joined = (
         pairs.join(fa.hint("shuffle_hash"), "url_a")
         .join(fb.hint("shuffle_hash"), "url_b")
+    )
+    if embeddings is not None:
+        ea = embeddings.select(
+            F.col("url").alias("url_a"), F.col("embedding").alias("_emb_a")
+        )
+        eb = embeddings.select(
+            F.col("url").alias("url_b"), F.col("embedding").alias("_emb_b")
+        )
+        dot = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        cos = dot(F.col("_emb_a"), F.col("_emb_b")) / (
+            F.sqrt(dot(F.col("_emb_a"), F.col("_emb_a")))
+            * F.sqrt(dot(F.col("_emb_b"), F.col("_emb_b")))
+        )
+        joined = (
+            joined.join(ea.hint("shuffle_hash"), "url_a", "left")
+            .join(eb.hint("shuffle_hash"), "url_b", "left")
+            .withColumn("cos_emb", F.coalesce(cos, F.lit(0.0)))
+            .drop("_emb_a", "_emb_b")
+        )
+        cos_term = F.lit(w_cos) * F.col("cos_emb")
+        extra_cols = ["cos_emb"]
+    else:
+        cos_term = None
+        extra_cols = []
+    blend = (
+        F.lit(W_TOKEN) * F.col("jac_token")
+        + F.lit(W_SHINGLE) * F.col("jac_shingle")
+        + F.lit(W_CONT) * F.col("cont_shingle")
+        + F.lit(W_JW) * F.col("jw_title")
+        + F.lit(W_LEV) * F.col("lev_title")
+    )
+    if cos_term is not None:
+        blend = blend + cos_term
+    scored = (
+        joined
         # Python crossing 1: the feature arrays go in, three doubles come
         # out — the arrays never ride past this node
         .withColumn("m", set_udf("th_a", "th_b", "shh_a", "shh_b"))
-        .select("url_a", "url_b", "m.*", ta.alias("_ta"), tb.alias("_tb"))
+        .select(
+            "url_a", "url_b", "m.*", ta.alias("_ta"), tb.alias("_tb"), *extra_cols
+        )
         # Python crossing 2: Jaro-Winkler on two short lowered titles,
         # skipped per-row for pairs that failed the token gate
         .withColumn("jw_title", jw_udf("_ta", "_tb", gated))
@@ -443,16 +496,9 @@ def score_pairs(
             "cont_shingle",
             "jw_title",
             "lev_title",
-            F.when(
-                ~gated, F.lit(W_TOKEN) * F.col("jac_token")
-            )
-            .otherwise(
-                F.lit(W_TOKEN) * F.col("jac_token")
-                + F.lit(W_SHINGLE) * F.col("jac_shingle")
-                + F.lit(W_CONT) * F.col("cont_shingle")
-                + F.lit(W_JW) * F.col("jw_title")
-                + F.lit(W_LEV) * F.col("lev_title")
-            )
+            *extra_cols,
+            F.when(~gated, F.lit(W_TOKEN) * F.col("jac_token"))
+            .otherwise(blend)
             .alias("score"),
         )
     )

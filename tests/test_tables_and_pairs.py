@@ -161,3 +161,41 @@ def test_jvm_scoring_bit_equals_python_udf(spark, corpus_dir):
         ro = old[k]
         for c in cols:
             assert rn[c] == ro[c], (k, c, rn[c], ro[c])
+
+
+def test_score_pairs_optional_embedding_cosine(spark):
+    """The optional embedding-cosine term: omitted → scores identical to
+    the base cascade; provided → blended score = base + w_cos·cosine,
+    with missing-embedding urls contributing exactly 0."""
+    from mdmpublic_spark.operators.scoring import page_features, score_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    pages = spark.createDataFrame(
+        [(u, text) for u in ("a1", "a2", "b1", "b2", "c1", "c2")],
+        "url string, text string",
+    )
+    feats = page_features(pages)
+    pairs = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2"), ("c1", "c2")], "url_a string, url_b string"
+    )
+    base, _ = score_pairs(pairs, feats)
+    b = {(r["url_a"], r["url_b"]): r["score"] for r in base.collect()}
+
+    # a-pair: parallel embeddings (cos 1); b-pair: orthogonal (cos 0);
+    # c-pair: no embedding rows at all (term must coalesce to 0)
+    emb = spark.createDataFrame(
+        [
+            ("a1", [1.0, 0.0]),
+            ("a2", [2.0, 0.0]),
+            ("b1", [1.0, 0.0]),
+            ("b2", [0.0, 3.0]),
+        ],
+        "url string, embedding array<double>",
+    )
+    blended, _ = score_pairs(pairs, feats, embeddings=emb, w_cos=0.25)
+    rows = {(r["url_a"], r["url_b"]): r for r in blended.collect()}
+    assert rows[("a1", "a2")]["cos_emb"] == 1.0
+    assert rows[("b1", "b2")]["cos_emb"] == 0.0
+    assert rows[("a1", "a2")]["score"] == b[("a1", "a2")] + 0.25
+    assert rows[("b1", "b2")]["score"] == b[("b1", "b2")]
+    assert rows[("c1", "c2")]["score"] == b[("c1", "c2")]
