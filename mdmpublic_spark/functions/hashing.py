@@ -111,16 +111,30 @@ def band_count() -> int:
     return LSH_BANDS
 
 
+def _hash64_sha256(s: str) -> int:
+    """Stable 64-bit hash: first 8 bytes (big-endian) of sha256. Chosen for
+    simhash because DuckDB 1.x ships sha256 (not sha1), so an exact SQL
+    oracle can recompute the same value as
+    ``('0x' || substr(sha256(t), 1, 16))::UBIGINT``."""
+    return int.from_bytes(hashlib.sha256(s.encode("utf-8")).digest()[:8], "big")
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over the token multiset (sign of per-bit vote sums).
 
     Vectorized: unpack all token-hash bits at once (numpy little-endian
     byte/bit order matches bit b == (h >> b) & 1 on little-endian hosts),
     sum votes per bit column, pack the sign pattern back into one uint64.
+
+    Per-token hash is sha256-folded (``_hash64_sha256``) so the whole
+    signature — and therefore the pigeonhole-complete pair set built on
+    it — is reproducible in ANSI-ish SQL (see the ``dd_simhash_pairs``
+    oracle in queries/training_data.py). Tie votes (equal 1/0 counts on
+    a bit) resolve to 0, matching the SQL ``vote > 0`` predicate.
     """
     if not tokens:
         return 0
-    h = np.fromiter((_hash64_str(t) for t in tokens), dtype=_U64, count=len(tokens))
+    h = np.fromiter((_hash64_sha256(t) for t in tokens), dtype=_U64, count=len(tokens))
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(tokens)  # (+1/-1 per token)
     packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little")

@@ -32,7 +32,7 @@ from mdmpublic_spark.functions.hashing import (
     minhash_sig,
     simhash,
 )
-from mdmpublic_spark.functions.text import shingles_from_tokens, text_tokens, tokens_expr
+from mdmpublic_spark.functions.text import shingles_from_tokens, tokens_expr
 
 TOKEN_RE = "[^a-z0-9]+"  # mirror of functions/text.py tokenization, SQL-safe
 
@@ -196,8 +196,18 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, 4×16-bit band buckets
     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
-    verified with a native popcount (bit_count(xor))."""
-    sigs = docs.select(id_col, simhash(text_tokens(F.col("text"))).alias("sh"))
+    verified with a native popcount (bit_count(xor)).
+
+    Completeness makes this oracle-checkable: the output is EXACTLY the
+    set of pairs at hamming ≤ max_hamming (≤ 3 with 4 bands), so a SQL
+    engine that recomputes the signatures (JVM tokenizer parity + the
+    sha256-folded token hash, functions/hashing.simhash64) and runs the
+    all-pairs popcount join gets the identical result set.
+
+    Tokens come from the JVM tokenizer (``tokens_expr``) — the single
+    Python crossing is the signature UDF, and tokenization is locale-free
+    and byte-identical to the SQL ``string_split_regex`` oracle form."""
+    sigs = docs.select(id_col, simhash(tokens_expr(F.col("text"))).alias("sh"))
     bands = sigs.select(
         id_col,
         "sh",

@@ -200,6 +200,36 @@ ORACLES: dict[str, str] = {
         JOIN sz sb ON sb.doc_id = id_b
         WHERE inter_n * 100 >= 50 * (sa.n + sb.n - inter_n)
     """,
+    # SimHash recomputed exactly in SQL: per-token 64-bit hash = first 8
+    # bytes of sha256 (functions/hashing._hash64_sha256), per-bit ±1 votes
+    # over the token multiset, sign-pack, then the all-pairs popcount join.
+    # The Spark side's 4×16-bit banding is pigeonhole-COMPLETE at
+    # hamming ≤ 3, so its output IS the exact pair set this computes.
+    "dd_simhash_pairs": f"""
+        WITH th AS (
+          SELECT doc_id, ('0x' || substr(sha256(t), 1, 16))::UBIGINT AS h
+          FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+        ),
+        votes AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+          GROUP BY doc_id, b
+        ),
+        sig AS (
+          SELECT d.doc_id, coalesce(s.shu, 0::HUGEINT)::UBIGINT AS shu
+          FROM documents d LEFT JOIN (
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT
+                            ELSE 0::HUGEINT END) AS shu
+            FROM votes GROUP BY doc_id
+          ) s USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.shu, b.shu))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.shu, b.shu)) <= 3
+    """,
     "dd_embedding_near_dup": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) a,

@@ -110,10 +110,10 @@ def test_simhash_bucket_completeness(spark, docs):
     by the 4-band bucketing — verify against an exhaustive small join."""
     sample = docs.where(F.col("doc_id") < 120)
     from mdmpublic_spark.functions.hashing import simhash
-    from mdmpublic_spark.functions.text import text_tokens
+    from mdmpublic_spark.functions.text import tokens_expr
 
     sigs = sample.select(
-        "doc_id", simhash(text_tokens(F.col("text"))).alias("sh")
+        "doc_id", simhash(tokens_expr(F.col("text"))).alias("sh")
     ).collect()
     exhaustive = set()
     for i, a in enumerate(sigs):
