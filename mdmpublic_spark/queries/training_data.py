@@ -88,6 +88,16 @@ def ann_ivf_topk(spark, sf_dir):
     return simsearch.ivf_ann_topk(vecs, queries, k=5, n_centroids=16, n_probe=6)
 
 
+def ann_ivf_full_probe(spark, sf_dir):
+    # n_probe == n_centroids: every cell is probed, so the IVF machinery
+    # (centroid assignment, cell shuffle, probe join, re-rank) provably
+    # returns brute_force_topk — the exact brute-force SQL oracle checks
+    # the whole IVF path end-to-end
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 10)
+    return simsearch.ivf_ann_topk(vecs, queries, k=5, n_centroids=16, n_probe=16)
+
+
 # ----------------------------------------------------------- text analysis ---
 
 
@@ -359,6 +369,10 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# full-probe IVF == brute force by construction (see ann_ivf_full_probe),
+# so it shares the exact brute-force oracle verbatim
+ORACLES["ann_ivf_full_probe"] = ORACLES["ann_brute_force_topk"]
+
 _FNS = {
     "dd_exact_groups": dd_exact_groups,
     "dd_token_jaccard_pairs": dd_token_jaccard_pairs,
@@ -368,6 +382,7 @@ _FNS = {
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_full_probe": ann_ivf_full_probe,
     "ta_token_stats": ta_token_stats,
     "ta_language_id": ta_language_id,
     "ta_quality_scores": ta_quality_scores,
