@@ -64,13 +64,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def token_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = 0.6,
-    id_col: str = "doc_id",
-    df_cap: int = 10000,
+def _postings_jaccard(
+    toks: DataFrame, threshold: float, id_col: str, df_cap: int
 ) -> DataFrame:
-    """Token-set Jaccard similarity self-join via inverted lists.
+    """Inverted-list Jaccard self-join over distinct (id, tok) postings.
 
     Returns (id_a, id_b, inter_n, union_n) for pairs with Jaccard ≥
     threshold. The Jaccard test is done on exact integer counts
@@ -81,12 +78,11 @@ def token_jaccard_pairs(
     only when df_cap covers the corpus — at web scale the cap makes
     this a recall-bounded approximation, logged by the caller.
     """
-    # No .cache() although toks feeds three branches: tokenize is one
-    # codegen'd scan-side map (cheap to recompute), while a persisted
+    # No .cache() although toks feeds three branches: the posting map is
+    # one codegen'd scan-side map (cheap to recompute), while a persisted
     # posting table pins executor memory for the caller's whole session
     # (the leak outweighs the recompute). At warehouse scale, materialize
     # the postings once to a table and point all three branches at it.
-    toks = tokenized(docs, id_col)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     joinable = toks.join(
@@ -111,6 +107,59 @@ def token_jaccard_pairs(
         .where(F.col("inter_n") * 10 >= F.lit(int(threshold * 10)) * F.col("union_n"))
         .select("id_a", "id_b", "inter_n", "union_n")
     )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    df_cap: int = 10000,
+) -> DataFrame:
+    """Token-set Jaccard similarity self-join via inverted lists
+    (see _postings_jaccard for semantics and the df_cap skew guard)."""
+    return _postings_jaccard(tokenized(docs, id_col), threshold, id_col, df_cap)
+
+
+def charngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    df_cap: int = 10000,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs via the same inverted-list
+    join as token Jaccard — the word-boundary-agnostic dedup family
+    (catches near-dups that tokenization hides: joined/split words,
+    punctuation-only edits, small in-word typos).
+
+    Grams are sliding windows of ``n`` characters over lower(text)
+    (spaces included — they carry word-boundary signal); texts shorter
+    than ``n`` contribute their whole text as the single gram so short
+    exact dups still pair. Gram extraction is a native substr transform
+    over a sequence — whole-stage codegen, no UDF; everything downstream
+    is the shared posting-list machinery, so the 100 TB story (shuffle
+    on gram, df-capped hot grams, ids-only pair join) is identical to
+    token Jaccard. Char n-grams are denser per doc than tokens (~1 gram
+    per char), so at scale prefer a larger ``n`` and/or hashing grams to
+    int64 before the shuffle (xxhash64 on the gram column) to cut bytes.
+    """
+    txt = F.lower(F.col("text"))
+    length = F.length(txt)
+    grams = (
+        F.when(
+            length >= n,
+            F.transform(
+                F.sequence(F.lit(1), length - (n - 1)),
+                lambda i: txt.substr(i, F.lit(n)),
+            ),
+        )
+        .when(length > 0, F.array(txt))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    postings = docs.select(
+        id_col, F.explode(F.array_distinct(grams)).alias("tok")
+    )
+    return _postings_jaccard(postings, threshold, id_col, df_cap)
 
 
 def shingled(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

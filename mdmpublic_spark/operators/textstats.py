@@ -24,15 +24,26 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != "")
 
 
+# GPT-2-style pre-tokenizer shape: letter runs, digit runs, and
+# non-space punctuation runs each become one piece. Counting matches of
+# this regex approximates a BPE tokenizer's pre-split piece count (the
+# budget number training pipelines plan with) without any vocab. Kept to
+# explicit ASCII classes so the Java and DuckDB/RE2 regex engines agree
+# byte-for-byte on every corpus.
+BPE_PIECE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace words, alnum tokens, distinct tokens,
-    chars — the building block of corpus size accounting."""
+    BPE-ish pieces, chars — the building block of corpus size accounting
+    (token budgets are the planning unit of LLM-training pipelines)."""
     toks = _tokens(F.col("text"))
     return docs.select(
         id_col,
         F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("n_words"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_PIECE_RE)).alias("n_bpe_pieces"),
         F.length("text").alias("n_chars"),
     )
 

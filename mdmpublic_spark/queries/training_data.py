@@ -42,6 +42,15 @@ def dd_token_jaccard_pairs(spark, sf_dir):
     return dedup.token_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
+def dd_charngram_pairs(spark, sf_dir):
+    # df_cap mirrored verbatim in the oracle; at this SF it is
+    # non-binding (max gram df 402 over 500 docs), so the result is the
+    # exact char-5-gram Jaccard join
+    return dedup.charngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=5, threshold=0.7, df_cap=10000
+    )
+
+
 def dd_minhash_pairs(spark, sf_dir):
     # recall-1 configuration (64 bands × 1 row): output equals the exact
     # shingle-Jaccard join — miss odds (1-J)^64 < 1e-19 at J ≥ 0.5 — so
@@ -183,6 +192,37 @@ ORACLES: dict[str, str] = {
         JOIN sz sb ON sb.doc_id = id_b
         WHERE inter_n * 10 >= 6 * (sa.n + sb.n - inter_n)
     """,
+    # char-5-gram postings rebuilt in SQL: 1-indexed substr windows over
+    # lower(text), distinct per doc, short-text fallback mirrored, then
+    # the same inverted-list join with the same df cap (250) and the
+    # same integer-exact threshold test (inter*10 >= 7*union)
+    "dd_charngram_pairs": """
+        WITH g AS (
+          SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN length(lower(text)) >= 5 THEN
+                          list_transform(generate_series(1, length(lower(text)) - 4),
+                                         i -> substr(lower(text), i, 5))
+                        WHEN length(lower(text)) > 0 THEN [lower(text)]
+                        ELSE [] END)) AS tok
+          FROM documents
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        dfreq AS (SELECT tok, count(*) AS df FROM g GROUP BY tok),
+        joinable AS (
+          SELECT g.doc_id, g.tok FROM g JOIN dfreq USING (tok)
+          WHERE dfreq.df > 1 AND dfreq.df <= 10000
+        ),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+          FROM joinable a JOIN joinable b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter_n, sa.n + sb.n - inter_n AS union_n
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter_n * 10 >= 7 * (sa.n + sb.n - inter_n)
+    """,
     # exact shingle-Jaccard pairs ≥ 0.5 — the Spark side's 64×1-band LSH
     # plus exact verify has miss probability < 1e-19 per qualifying pair,
     # so the sets are equal (see dd_minhash_pairs above)
@@ -267,6 +307,8 @@ ORACLES: dict[str, str] = {
                len(list_filter(string_split(text, ' '), t -> t != '')) AS n_words,
                len({_TOK}) AS n_tokens,
                len(list_distinct({_TOK})) AS n_distinct_tokens,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS n_bpe_pieces,
                length(text) AS n_chars
         FROM documents
     """,
@@ -376,6 +418,7 @@ ORACLES["ann_ivf_full_probe"] = ORACLES["ann_brute_force_topk"]
 _FNS = {
     "dd_exact_groups": dd_exact_groups,
     "dd_token_jaccard_pairs": dd_token_jaccard_pairs,
+    "dd_charngram_pairs": dd_charngram_pairs,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_embedding_near_dup": dd_embedding_near_dup,

@@ -216,3 +216,54 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     want = {(i, 1000 + i) for i in range(0, 40, 4)}
     assert got == want
+
+
+def test_charngram_jaccard_exact_on_tiny_corpus(spark):
+    """Char-5-gram Jaccard vs a pure-Python reference on a corpus
+    engineered so tokenization hides the near-dup (joined words) but
+    char grams catch it; includes a short-text (<5 chars) doc."""
+    texts = {
+        1: "the quick brown fox jumps",
+        2: "thequick brown fox jumps",  # joined words: token sets differ
+        3: "lazy dogs sleep all day long",
+        4: "cat",  # shorter than n: whole text is the single gram
+        5: "cat",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+        for r in dedup.charngram_jaccard_pairs(df, n=5, threshold=0.5).collect()
+    }
+
+    def grams(t):
+        t = t.lower()
+        return {t[i : i + 5] for i in range(len(t) - 4)} if len(t) >= 5 else {t}
+
+    expected = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = grams(texts[a]), grams(texts[b])
+            inter, union = len(ga & gb), len(ga | gb)
+            if inter * 10 >= 5 * union:
+                expected[(a, b)] = (inter, union)
+    assert got == expected
+    assert (1, 2) in got  # joined-word near-dup caught
+    assert (4, 5) in got  # short exact dup caught via whole-text gram
+
+
+def test_token_stats_bpe_pieces(spark):
+    """BPE-ish piece count: letter runs, digit runs, punctuation runs."""
+    from mdmpublic_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world!! v2.0 costs $15"), (2, ""), (3, "abc")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in textstats.token_stats(df).collect()}
+    # hello | , | world | !! | v | 2 | . | 0 | costs | $ | 15  -> 11
+    assert rows[1]["n_bpe_pieces"] == 11
+    assert rows[2]["n_bpe_pieces"] == 0
+    assert rows[3]["n_bpe_pieces"] == 1
