@@ -162,6 +162,44 @@ def charngram_jaccard_pairs(
     return _postings_jaccard(postings, threshold, id_col, df_cap)
 
 
+def fingerprint_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    df_cap: int = 10000,
+) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (the MOSS/copy-detection
+    family): documents sharing ≥ ``min_shared`` of their rolling-hash
+    sketch fingerprints (textstats.doc_fingerprints — 4 smallest FNV
+    window hashes per doc).
+
+    The sketch is O(1) per document regardless of length, so the
+    pair-generating join shuffles 4 int64 rows per doc — the cheapest
+    candidate generator in the dedup family and the natural first pass
+    at 10^12-doc scale. Same inverted-list shape as the Jaccard
+    variants: join on fp, df-capped hot fingerprints (a boilerplate
+    window shared by the whole corpus would otherwise join
+    quadratically), ids-only pair aggregation.
+    """
+    from mdmpublic_spark.operators.textstats import doc_fingerprints
+
+    fps = doc_fingerprints(docs, id_col).select(id_col, "fp").distinct()
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    joinable = fps.join(
+        F.broadcast(dfreq.where(F.col("df") <= df_cap).where(F.col("df") > 1)),
+        "fp",
+    ).select(id_col, "fp")
+    a = joinable.select(F.col(id_col).alias("id_a"), "fp")
+    b = joinable.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def shingled(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, text) → distinct (id, tok) 3-word-shingle posting rows,
     built-ins only (tok column name kept so the verify join below is

@@ -51,6 +51,10 @@ def dd_charngram_pairs(spark, sf_dir):
     )
 
 
+def dd_fingerprint_pairs(spark, sf_dir):
+    return dedup.fingerprint_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
 def dd_minhash_pairs(spark, sf_dir):
     # recall-1 configuration (64 bands × 1 row): output equals the exact
     # shingle-Jaccard join — miss odds (1-J)^64 < 1e-19 at J ≥ 0.5 — so
@@ -385,6 +389,49 @@ ORACLES: dict[str, str] = {
                      ELSE fpu END)::BIGINT AS fp
         FROM ranked WHERE fp_rank < 4
     """,
+    # same FNV rolling-hash derivation as ta_fingerprints (see that
+    # oracle's header note), then distinct per-doc sketch values, the
+    # df-capped (non-binding at this SF) inverted join, and the
+    # min-shared gate — fp equality compared on the unsigned value
+    # (sign-cast is a bijection, so signed/unsigned equality agree)
+    "dd_fingerprint_pairs": """
+        WITH codes AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                                c -> ord(c)::HUGEINT) AS cs
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, cs, unnest(generate_series(1, len(cs) - 7)) AS i FROM codes
+        ),
+        win AS (
+          SELECT doc_id,
+                 (cs[i]   * 14218562807570617051::HUGEINT +
+                  cs[i+1] * 15895002104753931833::HUGEINT +
+                  cs[i+2] * 913917546033277539::HUGEINT +
+                  cs[i+3] * 11527715348014283921::HUGEINT +
+                  cs[i+4] * 624165263380053675::HUGEINT +
+                  cs[i+5] * 956575116354345::HUGEINT +
+                  cs[i+6] * 1099511628211::HUGEINT +
+                  cs[i+7]) % 18446744073709551616::HUGEINT AS fpu
+          FROM pos
+        ),
+        ranked AS (
+          SELECT doc_id, fpu,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY fpu) - 1 AS fp_rank
+          FROM win
+        ),
+        fps AS (SELECT DISTINCT doc_id, fpu FROM ranked WHERE fp_rank < 4),
+        dfreq AS (SELECT fpu, count(*) AS df FROM fps GROUP BY fpu),
+        joinable AS (
+          SELECT fps.doc_id, fps.fpu FROM fps JOIN dfreq USING (fpu)
+          WHERE dfreq.df > 1 AND dfreq.df <= 10000
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM joinable a JOIN joinable b ON a.fpu = b.fpu AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
     "mm_feature_extract": """
         SELECT doc_id::VARCHAR AS media_id,
                octet_length(encode(text))::BIGINT AS n_bytes,
@@ -419,6 +466,7 @@ _FNS = {
     "dd_exact_groups": dd_exact_groups,
     "dd_token_jaccard_pairs": dd_token_jaccard_pairs,
     "dd_charngram_pairs": dd_charngram_pairs,
+    "dd_fingerprint_pairs": dd_fingerprint_pairs,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_embedding_near_dup": dd_embedding_near_dup,

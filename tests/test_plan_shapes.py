@@ -48,6 +48,7 @@ LAZY_ENTRIES = [
     "s1_string_funcs", "s2_date_funcs", "s3_hash_funcs",
     "s4_json_access", "s5_regex_parse", "d1_exact_dup_profile",
     "dd_exact_groups", "dd_token_jaccard_pairs", "dd_charngram_pairs",
+    "dd_fingerprint_pairs",
     "dd_embedding_near_dup", "ann_brute_force_topk", "ann_lsh_topk",
     "ann_ivf_topk", "ta_token_stats", "ta_language_id",
     "ta_quality_scores", "ta_fingerprints",

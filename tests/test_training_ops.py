@@ -267,3 +267,22 @@ def test_token_stats_bpe_pieces(spark):
     assert rows[1]["n_bpe_pieces"] == 11
     assert rows[2]["n_bpe_pieces"] == 0
     assert rows[3]["n_bpe_pieces"] == 1
+
+
+def test_fingerprint_pairs_planted_near_dups(spark):
+    """Docs sharing a long identical region share rolling-hash window
+    fingerprints; unrelated docs share none. min_shared=2 of the 4-value
+    sketch pairs only the planted near-dups."""
+    base = "the winnowing fingerprint sketch keeps the smallest window hashes of a document"
+    rows = [
+        (1, base + " tail one"),
+        (2, base + " different tail entirely"),  # same long prefix as 1
+        (3, "完全 unrelated content with nothing in common at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.fingerprint_pairs(df, min_shared=2).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 2
