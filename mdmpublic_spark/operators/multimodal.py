@@ -132,6 +132,66 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     )
 
 
+def fake_resize(payload: bytes, target_bytes: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: uniform byte
+    subsampling down to ``target_bytes`` (payloads already at or under
+    target pass through unchanged). Pure function of the input bytes.
+    A real implementation decodes the image, resizes to the target
+    pixel box, and re-encodes — dropping in here unchanged; raise
+    NotImplementedError there if the codec is unavailable."""
+    if not payload or len(payload) <= target_bytes:
+        return payload
+    idx = np.linspace(0, len(payload) - 1, target_bytes).astype(np.int64)
+    return bytes(np.frombuffer(payload, dtype=np.uint8)[idx])
+
+
+def resize_media(
+    media: DataFrame,
+    target_bytes: int = 256,
+    resizer: Callable[[bytes, int], bytes] = fake_resize,
+) -> DataFrame:
+    """media → media with resized payloads (MEDIA_SCHEMA preserved):
+    n_bytes and sha256 are recomputed for the new payload so downstream
+    manifest/dedup operators see a consistent record.
+
+    mapInPandas for the same reason as extract_features: real resizers
+    want batch control and bounded per-batch payload memory; the
+    payload column is rewritten in place of the Arrow batch, one output
+    row per input row, order within partitions preserved."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resizer(p if p is not None else b"", target_bytes)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": out,
+                    "mime": pdf["mime"].values,
+                    "n_bytes": [len(p) for p in out],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in out],
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def resize_plan(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """The plan-side arithmetic of resize_media, fully native (no UDF,
+    oracle-checkable): per media item, the output size and whether the
+    payload shrinks. At scale this is the skip-list that lets the
+    expensive resize pass read only the rows it will change."""
+    return media.select(
+        "media_id",
+        F.col("n_bytes").alias("in_bytes"),
+        F.least(F.col("n_bytes"), F.lit(target_bytes).cast("long")).alias("out_bytes"),
+        (F.col("n_bytes") > F.lit(target_bytes)).alias("resized"),
+    )
+
+
 def payload_checksum_py(payload: bytes) -> str:
     """Python-side sha256 used by tests to cross-check the native sha2."""
     return hashlib.sha256(payload).hexdigest()

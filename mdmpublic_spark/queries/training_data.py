@@ -164,6 +164,10 @@ def mm_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(_media(spark, sf_dir), every_n_bytes=128)
 
 
+def mm_resize_plan(spark, sf_dir):
+    return multimodal.resize_plan(_media(spark, sf_dir), target_bytes=256)
+
+
 # ---------------------------------------------------------------- oracles ---
 
 _TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
@@ -448,6 +452,13 @@ ORACLES: dict[str, str] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "mm_resize_plan": """
+        SELECT doc_id::VARCHAR AS media_id,
+               octet_length(encode(text))::BIGINT AS in_bytes,
+               least(octet_length(encode(text)), 256)::BIGINT AS out_bytes,
+               octet_length(encode(text)) > 256 AS resized
+        FROM documents
+    """,
     "mm_frame_plan": """
         SELECT doc_id::VARCHAR AS media_id,
                unnest(generate_series(0, greatest(1,
@@ -481,6 +492,7 @@ _FNS = {
     "mm_media_manifest": mm_media_manifest,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_plan": mm_frame_plan,
+    "mm_resize_plan": mm_resize_plan,
 }
 
 

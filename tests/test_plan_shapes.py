@@ -51,7 +51,7 @@ LAZY_ENTRIES = [
     "dd_fingerprint_pairs",
     "dd_embedding_near_dup", "ann_brute_force_topk", "ann_lsh_topk",
     "ann_ivf_topk", "ta_token_stats", "ta_language_id",
-    "ta_quality_scores", "ta_fingerprints",
+    "ta_quality_scores", "ta_fingerprints", "mm_resize_plan",
 ]
 
 

@@ -286,3 +286,23 @@ def test_fingerprint_pairs_planted_near_dups(spark):
     }
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] >= 2
+
+
+def test_resize_media_deterministic_and_consistent(spark, docs):
+    """resize_media rewrites payloads to ≤ target bytes with recomputed
+    size/checksum; short payloads pass through byte-identical; output is
+    deterministic across runs."""
+    media = multimodal.as_media(
+        docs.limit(40).select("doc_id", F.encode(F.col("text"), "utf-8").alias("p")),
+        "doc_id", "p", kind="image", mime="text/plain",
+    )
+    out1 = {r["media_id"]: r for r in multimodal.resize_media(media, 256).collect()}
+    out2 = {r["media_id"]: r for r in multimodal.resize_media(media, 256).collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert out1.keys() == orig.keys()
+    for mid, r in out1.items():
+        assert r["n_bytes"] == len(r["payload"]) <= 256
+        assert r["sha256"] == multimodal.payload_checksum_py(bytes(r["payload"]))
+        if orig[mid]["n_bytes"] <= 256:
+            assert bytes(r["payload"]) == bytes(orig[mid]["payload"])
+        assert bytes(r["payload"]) == bytes(out2[mid]["payload"])  # deterministic
