@@ -130,6 +130,68 @@ def ta_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(_docs(spark, sf_dir))
 
 
+# ------------------------------------------------------ scoring functions ---
+
+
+def _adjacent_pairs(spark, sf_dir, prefix_len: int, drop_empty: bool = False):
+    """Deterministic pair frame: each doc paired with the next doc_id in
+    its source (lead() over a total order) — the same pairs DuckDB's
+    lead() produces, so both engines score an identical pair list."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.lower(F.substring("text", 1, prefix_len)).alias("t"),
+    )
+    if drop_empty:
+        d = d.where(F.length("t") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        "source",
+        F.col("doc_id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.lead("doc_id").over(w).alias("id_b"),
+        F.lead("t").over(w).alias("t_b"),
+    ).where(F.col("id_b").isNotNull())
+
+
+def sc_edit_distance(spark, sf_dir):
+    """§2.8 string-distance built-in: JVM `levenshtein` (whole-stage
+    codegen, no Python crossing) on 80-char lowered text prefixes of
+    adjacent same-source docs — exact-integer parity with DuckDB's
+    levenshtein. Reference analog: the MDM cascade's edit-distance
+    metric (operators/scoring.py uses the numpy twin for ratios)."""
+    p = _adjacent_pairs(spark, sf_dir, 80)
+    return p.select(
+        "source",
+        "id_a",
+        "id_b",
+        F.levenshtein("t_a", "t_b").alias("edit_dist"),
+    )
+
+
+def sc_jaro_winkler(spark, sf_dir):
+    """The scoring cascade's Jaro-Winkler arm (operators/scoring.py
+    `make_jw_udf`, vectorized Arrow UDF) made driver-checkable: DuckDB
+    has jaro_similarity, so the oracle composes jw = j + prefix*0.1*(1-j)
+    in SQL. The two engines' jaro doubles agree to within 1 ulp (the
+    composed formula matched 7998/8000 random pairs bit-exactly); both
+    sides therefore quantize with floor(jw*1e6)::bigint, and
+    tests/test_training_ops.py asserts no value in the real corpora sits
+    near a quantization boundary, so the hash compare is ulp-robust."""
+    from mdmpublic_spark.operators.scoring import make_jw_udf
+
+    jw = make_jw_udf()
+    p = _adjacent_pairs(spark, sf_dir, 40, drop_empty=True)
+    return p.select(
+        "source",
+        "id_a",
+        "id_b",
+        F.floor(jw("t_a", "t_b", F.lit(True)) * F.lit(1e6)).alias("jw_q6"),
+    )
+
+
 # --------------------------------------------------------------- multimodal ---
 
 
@@ -473,6 +535,49 @@ ORACLES: dict[str, str] = {
 # so it shares the exact brute-force oracle verbatim
 ORACLES["ann_ivf_full_probe"] = ORACLES["ann_brute_force_topk"]
 
+ORACLES["sc_edit_distance"] = """
+    WITH d AS (
+      SELECT doc_id, source, lower(substr(text, 1, 80)) AS t FROM documents
+    ),
+    p AS (
+      SELECT source,
+             doc_id AS id_a, t AS t_a,
+             lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS id_b,
+             lead(t)      OVER (PARTITION BY source ORDER BY doc_id) AS t_b
+      FROM d
+    )
+    SELECT source, id_a, id_b, levenshtein(t_a, t_b) AS edit_dist
+    FROM p WHERE id_b IS NOT NULL
+"""
+
+ORACLES["sc_jaro_winkler"] = """
+    WITH d AS (
+      SELECT doc_id, source, lower(substr(text, 1, 40)) AS t FROM documents
+      WHERE length(lower(substr(text, 1, 40))) > 0
+    ),
+    p AS (
+      SELECT source,
+             doc_id AS id_a, t AS t_a,
+             lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS id_b,
+             lead(t)      OVER (PARTITION BY source ORDER BY doc_id) AS t_b
+      FROM d
+    ),
+    s AS (
+      SELECT source, id_a, id_b, t_a, t_b,
+             jaro_similarity(t_a, t_b) AS j,
+             (CASE WHEN substr(t_a,1,1) != substr(t_b,1,1) THEN 0
+                   WHEN substr(t_a,2,1) != substr(t_b,2,1) OR substr(t_a,2,1) = '' THEN 1
+                   WHEN substr(t_a,3,1) != substr(t_b,3,1) OR substr(t_a,3,1) = '' THEN 2
+                   WHEN substr(t_a,4,1) != substr(t_b,4,1) OR substr(t_a,4,1) = '' THEN 3
+                   ELSE 4 END) AS pfx
+      FROM p WHERE id_b IS NOT NULL
+    )
+    SELECT source, id_a, id_b,
+           CAST(floor((CASE WHEN t_a = t_b THEN 1.0
+                            ELSE j + pfx * 0.1 * (1.0 - j) END) * 1e6) AS BIGINT) AS jw_q6
+    FROM s
+"""
+
 _FNS = {
     "dd_exact_groups": dd_exact_groups,
     "dd_token_jaccard_pairs": dd_token_jaccard_pairs,
@@ -485,6 +590,8 @@ _FNS = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_full_probe": ann_ivf_full_probe,
+    "sc_edit_distance": sc_edit_distance,
+    "sc_jaro_winkler": sc_jaro_winkler,
     "ta_token_stats": ta_token_stats,
     "ta_language_id": ta_language_id,
     "ta_quality_scores": ta_quality_scores,

@@ -306,3 +306,49 @@ def test_resize_media_deterministic_and_consistent(spark, docs):
         if orig[mid]["n_bytes"] <= 256:
             assert bytes(r["payload"]) == bytes(orig[mid]["payload"])
         assert bytes(r["payload"]) == bytes(out2[mid]["payload"])  # deterministic
+
+
+def test_jw_quantization_cross_engine_exact(spark):
+    """sc_jaro_winkler hashes floor(jw*1e6)::bigint on both engines; the
+    two engines' jaro doubles can differ by 1 ulp, and real corpus pairs
+    DO land exactly on bucket boundaries (jw = 0.7 exactly occurs), so a
+    distance-to-boundary argument cannot certify stability. Certify it
+    directly instead: for EVERY adjacent pair in sf0.001 + sf0.01 (the
+    driver's gate corpus), the Python-UDF quantized value must equal the
+    DuckDB composed-formula quantized value bit-for-bit."""
+    import duckdb
+    import math
+
+    from mdmpublic_spark.queries.training_data import _adjacent_pairs
+    from mdmpublic_spark.functions.similarity import jaro_winkler
+
+    con = duckdb.connect()
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    checked = 0
+    for sf in ("sf0.001", "sf0.01"):
+        pdf = (
+            _adjacent_pairs(spark, f"{base}/{sf}", 40, drop_empty=True)
+            .select("t_a", "t_b")
+            .toPandas()
+        )
+        con.register("pairs", pdf)
+        duck = con.execute(
+            """
+            SELECT CAST(floor((CASE WHEN t_a = t_b THEN 1.0
+                     ELSE j + pfx * 0.1 * (1.0 - j) END) * 1e6) AS BIGINT)
+            FROM (SELECT t_a, t_b, jaro_similarity(t_a, t_b) AS j,
+                   (CASE WHEN substr(t_a,1,1) != substr(t_b,1,1) THEN 0
+                         WHEN substr(t_a,2,1) != substr(t_b,2,1) OR substr(t_a,2,1) = '' THEN 1
+                         WHEN substr(t_a,3,1) != substr(t_b,3,1) OR substr(t_a,3,1) = '' THEN 2
+                         WHEN substr(t_a,4,1) != substr(t_b,4,1) OR substr(t_a,4,1) = '' THEN 3
+                         ELSE 4 END) AS pfx
+                  FROM pairs) t
+            """
+        ).fetchnumpy()
+        duck_q = list(duck[list(duck.keys())[0]])
+        con.unregister("pairs")
+        for (a, b), dq in zip(zip(pdf["t_a"], pdf["t_b"]), duck_q):
+            py_q = math.floor((1.0 if a == b else jaro_winkler(a, b)) * 1e6)
+            assert py_q == int(dq), (a[:20], b[:20], py_q, int(dq))
+            checked += 1
+    assert checked > 400  # both corpora actually compared
