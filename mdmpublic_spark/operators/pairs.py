@@ -46,6 +46,11 @@ class PairGenStats:
     oversize_blocks: int = 0
     dropped_pairs_est: int = 0
     hot_blocks: int = 0
+    # delta-batch accounting (delta_candidate_pairs only): blocks that a
+    # batch pushed past the admission cap keep their previously-scored
+    # pairs (grandfathered) — counted, never silent
+    grandfathered_blocks: int = 0
+    grandfathered_pairs_est: int = 0
 
 
 DEFAULT_PREFIX_CAPS = {"d:": 100}
@@ -54,29 +59,27 @@ DEFAULT_PREFIX_CAPS = {"d:": 100}
 MEMBERSHIP_BROADCAST_LIMIT = 2_000_000  # joinable block keys; ~100 MB broadcast
 
 
-def candidate_pairs(
+def _cap_expr(max_block_size: int, prefix_caps: dict[str, int] | None):
+    cap = F.lit(max_block_size)
+    for prefix, c in (prefix_caps or {}).items():
+        cap = F.when(
+            F.col("block_key").startswith(prefix), F.least(F.lit(c), cap)
+        ).otherwise(cap)
+    return cap
+
+
+def _classify_blocks(
     blocked: DataFrame,
-    max_block_size: int = 2000,
-    broadcast_threshold: int = 200,
-    stats: PairGenStats | None = None,
-    prefix_caps: dict[str, int] | None = DEFAULT_PREFIX_CAPS,
-    membership_broadcast_limit: int = MEMBERSHIP_BROADCAST_LIMIT,
-) -> DataFrame:
-    """(url, block_key) → distinct (url_a, url_b) with url_a < url_b.
-
-    ``prefix_caps`` applies a *tighter* cap per key family: domain keys
-    (``d:``) default to 100 because a popular domain is not a duplicate
-    signal — a 250-page domain block alone contributes 31k pairs of
-    which ~all score below threshold, and domains follow a Zipf head, so
-    large-domain blocks dominate candidate volume quadratically while
-    the LSH band keys already give recall *inside* the domain (same-site
-    near-duplicates share content shingles). Dropping them is the
-    semantic skew policy AQE cannot apply (SURVEY.md §4.2 item 1);
-    every drop is counted, never silent.
-
-    Returns the pair DataFrame; fills ``stats`` (driver-side scalars
-    only — one 3-row aggregate collect, never a per-key collect).
-    """
+    max_block_size: int,
+    broadcast_threshold: int,
+    prefix_caps: dict[str, int] | None,
+    stats: PairGenStats | None,
+):
+    """Size-profile + classify every joinable block: (block_key, cls) with
+    cls ∈ {small, hot}; oversize blocks are excluded (dropped from pair
+    generation, counted in ``stats``). Returns (classified_df,
+    n_joinable, n_hot); the classified table is localCheckpoint-
+    materialized so membership joins don't re-aggregate ``blocked``."""
     sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
     # the size profile feeds two actions (the class-stats aggregate and
     # the classification checkpoint); persist so blocked is scanned and
@@ -84,11 +87,7 @@ def candidate_pairs(
     # nothing in the returned plan references it
     sizes = sizes.persist()
 
-    cap_expr = F.lit(max_block_size)
-    for prefix, cap in (prefix_caps or {}).items():
-        cap_expr = F.when(
-            F.col("block_key").startswith(prefix), F.least(F.lit(cap), cap_expr)
-        ).otherwise(cap_expr)
+    cap_expr = _cap_expr(max_block_size, prefix_caps)
 
     prof = (
         sizes.where(F.col("n") > 1)
@@ -122,17 +121,41 @@ def candidate_pairs(
             int(cls_rows["oversize"]["pairs"]) if "oversize" in cls_rows else 0
         )
 
-    # classification table for the membership join: materialize via
-    # localCheckpoint so the membership join below doesn't re-aggregate
-    # `blocked`, and the persisted size profile can be released now
-    # (checkpointed partitions are freed by the context cleaner once the
-    # returned plan is garbage-collected)
     classified = (
         prof.where(F.col("cls") != "oversize")
         .select("block_key", "cls")
         .localCheckpoint(eager=True)
     )
     sizes.unpersist()
+    return classified, n_joinable, n_hot
+
+
+def candidate_pairs(
+    blocked: DataFrame,
+    max_block_size: int = 2000,
+    broadcast_threshold: int = 200,
+    stats: PairGenStats | None = None,
+    prefix_caps: dict[str, int] | None = DEFAULT_PREFIX_CAPS,
+    membership_broadcast_limit: int = MEMBERSHIP_BROADCAST_LIMIT,
+) -> DataFrame:
+    """(url, block_key) → distinct (url_a, url_b) with url_a < url_b.
+
+    ``prefix_caps`` applies a *tighter* cap per key family: domain keys
+    (``d:``) default to 100 because a popular domain is not a duplicate
+    signal — a 250-page domain block alone contributes 31k pairs of
+    which ~all score below threshold, and domains follow a Zipf head, so
+    large-domain blocks dominate candidate volume quadratically while
+    the LSH band keys already give recall *inside* the domain (same-site
+    near-duplicates share content shingles). Dropping them is the
+    semantic skew policy AQE cannot apply (SURVEY.md §4.2 item 1);
+    every drop is counted, never silent.
+
+    Returns the pair DataFrame; fills ``stats`` (driver-side scalars
+    only — one 3-row aggregate collect, never a per-key collect).
+    """
+    classified, n_joinable, n_hot = _classify_blocks(
+        blocked, max_block_size, broadcast_threshold, prefix_caps, stats
+    )
 
     # joinable membership rows: size>1 and not oversize. Broadcast the
     # classification only while the joinable-key count fits in memory;
@@ -164,4 +187,105 @@ def candidate_pairs(
     pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
     # dedup across key families — one shuffle on the (near-uniform) pair key
+    return pairs.groupBy("url_a", "url_b").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def delta_candidate_pairs(
+    blocked_all: DataFrame,
+    delta_urls: DataFrame,
+    max_block_size: int = 2000,
+    broadcast_threshold: int = 200,
+    stats: PairGenStats | None = None,
+    prefix_caps: dict[str, int] | None = DEFAULT_PREFIX_CAPS,
+    membership_broadcast_limit: int = MEMBERSHIP_BROADCAST_LIMIT,
+    blocked_prior: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate pairs for an incremental batch: every (url_a < url_b)
+    pair sharing a block where AT LEAST ONE side is a delta url.
+
+    The cost is proportional to the delta's block memberships times
+    their block sizes — NOT to the corpus: the delta side of the join is
+    ``blocked_all ⋈ delta_urls`` (delta memberships only), the other
+    side the full membership of just those blocks. Old-old pairs are
+    never regenerated; the caller keeps their previously-scored rows.
+
+    Classification (cap / hot / small) runs over the COMBINED block
+    sizes — the same profile a full recompute would see — so a batch
+    never quietly grows a block past the admission policy. Blocks the
+    batch pushes PAST the cap get no new pairs (their delta members are
+    reachable via other keys, as in ``candidate_pairs``), but their
+    previously-scored pairs are grandfathered by the caller rather than
+    retracted: at the 10^12-doc design point, un-matching existing
+    masters because a block crossed an admission threshold would regress
+    recall on untouched records. Every such block is counted in
+    ``stats.grandfathered_blocks`` / ``grandfathered_pairs_est`` (pass
+    ``blocked_prior`` = the pre-batch blocked table to enable the
+    detection aggregate), so the drift is observable and a periodic full
+    re-block can reconcile it.
+
+    ``n_keys`` counts generating (delta-membership, block) events, not
+    the full run's per-pair key count — downstream scoring ignores it.
+    """
+    classified, n_joinable, n_hot = _classify_blocks(
+        blocked_all, max_block_size, broadcast_threshold, prefix_caps, stats
+    )
+
+    if blocked_prior is not None and stats is not None:
+        cap_expr = _cap_expr(max_block_size, prefix_caps)
+        prior_sizes = blocked_prior.groupBy("block_key").agg(
+            F.count(F.lit(1)).alias("n_prior")
+        )
+        now_sizes = blocked_all.groupBy("block_key").agg(
+            F.count(F.lit(1)).alias("n_now")
+        )
+        crossed = (
+            prior_sizes.join(now_sizes, "block_key")
+            .where(
+                (F.col("n_prior") > 1)
+                & (F.col("n_prior") <= cap_expr)
+                & (F.col("n_now") > cap_expr)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.col("n_prior") * (F.col("n_prior") - 1) / 2).alias("pairs"),
+            )
+            .first()
+        )
+        stats.grandfathered_blocks = int(crossed["k"] or 0)
+        stats.grandfathered_pairs_est = int(crossed["pairs"] or 0)
+
+    if n_joinable <= membership_broadcast_limit:
+        member = blocked_all.join(F.broadcast(classified), "block_key")
+    else:
+        member = blocked_all.join(classified, "block_key")
+
+    # delta memberships: the batch is small relative to the corpus by
+    # construction, so its url list rides a broadcast hash join; a
+    # mega-batch degrades to a shuffle join via Catalyst's size estimate
+    # (hint, not forced broadcast)
+    d = delta_urls.select("url").distinct().hint("broadcast")
+    dm = member.join(d, "url")
+
+    def join_delta(cls_name: str, broadcast_right: bool) -> DataFrame:
+        a = dm.where(F.col("cls") == cls_name).select("block_key", "url").alias("a")
+        b = member.where(F.col("cls") == cls_name).select("block_key", "url")
+        right = F.broadcast(b.alias("b")) if broadcast_right else b.alias("b")
+        return (
+            a.join(right, F.col("a.block_key") == F.col("b.block_key"))
+            .where(F.col("a.url") != F.col("b.url"))
+            .select(
+                F.least("a.url", "b.url").alias("url_a"),
+                F.greatest("a.url", "b.url").alias("url_b"),
+            )
+        )
+
+    parts = [join_delta("small", broadcast_right=False)]
+    if n_hot:
+        # hot-block members are bounded (≤ n_hot × cap) — same broadcast
+        # policy as candidate_pairs' hot path
+        parts.append(join_delta("hot", broadcast_right=True))
+    pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    # dedup across key families AND across the a/b symmetry for
+    # delta-delta pairs — one shuffle on the (near-uniform) pair key
     return pairs.groupBy("url_a", "url_b").agg(F.count(F.lit(1)).alias("n_keys"))

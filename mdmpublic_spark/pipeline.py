@@ -29,7 +29,11 @@ from mdmpublic_spark.operators.blocking import block_keys, common_shingles
 from mdmpublic_spark.operators.clustering import connected_components
 from mdmpublic_spark.operators.extract import dedup_latest, extract_pages
 from mdmpublic_spark.operators.golden import assign_clusters, golden_records
-from mdmpublic_spark.operators.pairs import PairGenStats, candidate_pairs
+from mdmpublic_spark.operators.pairs import (
+    DEFAULT_PREFIX_CAPS,
+    PairGenStats,
+    candidate_pairs,
+)
 from mdmpublic_spark.operators.scoring import DEFAULT_THRESHOLD, page_features, score_pairs
 from mdmpublic_spark.plans.runner import StageRunner
 
@@ -42,10 +46,21 @@ class PipelineConfig:
     stop_frac: float = 0.005
     max_block_size: int = 2000
     broadcast_threshold: int = 200
+    # per-key-family admission caps (see operators/pairs.py); None
+    # disables family-specific tightening
+    prefix_caps: dict | None = field(
+        default_factory=lambda: dict(DEFAULT_PREFIX_CAPS)
+    )
     score_threshold: float = DEFAULT_THRESHOLD
     title_chars: int = 80
     cc_max_iter: int = 25
     repartition: int | None = None  # pair/score parallelism override
+    # path to a committed profile table to reuse instead of re-profiling
+    # (profile pinning): incremental batches freeze the master profile so
+    # blocking keys stay comparable across batches, and a full recompute
+    # given the same frozen profile is the incremental path's equivalence
+    # oracle (tests/test_incremental.py). None = profile this corpus.
+    frozen_profile: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -97,15 +112,26 @@ def run_pipeline(
     extracted = _spread(extracted_t.read(spark))
 
     # 2a. profile — corpus-adaptive boilerplate ("stop shingles") by DF
-    profile_t = runner.run_stage(
-        "profile",
-        lambda: common_shingles(
+    def _profile() -> DataFrame:
+        if cfg.frozen_profile:
+            from mdmpublic_spark.tables import Table
+
+            return Table(cfg.frozen_profile).read(spark)
+        return common_shingles(
             extracted,
             cfg.min_stop_df,
             cfg.stop_frac,
             n_docs=runner.state["extract"]["rows"],
-        ),
-        config={"min_stop_df": cfg.min_stop_df, "stop_frac": cfg.stop_frac},
+        )
+
+    profile_t = runner.run_stage(
+        "profile",
+        _profile,
+        config={
+            "min_stop_df": cfg.min_stop_df,
+            "stop_frac": cfg.stop_frac,
+            "frozen": cfg.frozen_profile,
+        },
         inputs=[extracted_t],
     )
     # Zipf head only — small by construction; the 64-bit ids feed
@@ -137,6 +163,7 @@ def run_pipeline(
             max_block_size=cfg.max_block_size,
             broadcast_threshold=cfg.broadcast_threshold,
             stats=pair_stats,
+            prefix_caps=cfg.prefix_caps,
         )
         return df.repartition(cfg.repartition) if cfg.repartition else df
 
@@ -147,6 +174,7 @@ def run_pipeline(
             "max_block_size": cfg.max_block_size,
             "broadcast_threshold": cfg.broadcast_threshold,
             "repartition": cfg.repartition,
+            "prefix_caps": cfg.prefix_caps,
         },
         inputs=[blocked_t],
     )
