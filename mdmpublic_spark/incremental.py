@@ -178,13 +178,20 @@ def incremental_update(
     eff = eff_t.read(spark)
     n_eff = runner.state[stage("effective")]["rows"]
     n_new = eff.where("is_new").count()
+    n_changed = n_eff - n_new
     metrics.add(stage("effective"), "new_urls", float(n_new))
-    metrics.add(stage("effective"), "changed_urls", float(n_eff - n_new))
+    metrics.add(stage("effective"), "changed_urls", float(n_changed))
 
-    _apply_merge(
-        "extract",
-        lambda: master["extract"].merge_upsert(spark, eff.drop("is_new"), ["url"]),
-    )
+    def _fold(table: Table, src: DataFrame):
+        """Insert-only batches (the common crawl-append case) APPEND —
+        a new snapshot referencing the delta files plus the old ones,
+        zero rewrite of master data (exactly Iceberg's fast append).
+        Batches carrying changed urls take the MERGE-upsert path."""
+        if n_changed == 0:
+            return table.append(src)
+        return table.merge_upsert(spark, src, ["url"])
+
+    _apply_merge("extract", lambda: _fold(master["extract"], eff.drop("is_new")))
 
     # ---- 3. frozen profile (Zipf head only — bounded collect)
     prof_rows = (
@@ -212,12 +219,19 @@ def incremental_update(
         },
         inputs=[eff_t],
     )
-    _apply_merge(
-        "block",
-        lambda: master["block"].merge_upsert(spark, d_block_t.read(spark), ["url"]),
-    )
+    _apply_merge("block", lambda: _fold(master["block"], d_block_t.read(spark)))
     blocked_all = master["block"].read(spark)
-    blocked_prior = master["block"].read(spark, snapshot_id=base["block"])
+    # pre-batch memberships of CHANGED urls only (crossing accounting
+    # needs their retracted keys); insert-only batches skip the scan
+    prior_changed = None
+    if n_changed:
+        prior_changed = (
+            master["block"]
+            .read(spark, snapshot_id=base["block"])
+            .join(
+                eff.where(~F.col("is_new")).select("url").hint("broadcast"), "url"
+            )
+        )
 
     # ---- 5. delta pairs (combined-size admission policy)
     pair_stats = PairGenStats()
@@ -230,7 +244,7 @@ def incremental_update(
             broadcast_threshold=cfg.broadcast_threshold,
             stats=pair_stats,
             prefix_caps=cfg.prefix_caps,
-            blocked_prior=blocked_prior,
+            prior_changed=prior_changed,
         ),
         config={
             "max_block_size": cfg.max_block_size,
@@ -255,10 +269,7 @@ def incremental_update(
         config={"title_chars": cfg.title_chars, "base_profile": base["profile"]},
         inputs=[eff_t],
     )
-    _apply_merge(
-        "features",
-        lambda: master["features"].merge_upsert(spark, d_feat_t.read(spark), ["url"]),
-    )
+    _apply_merge("features", lambda: _fold(master["features"], d_feat_t.read(spark)))
 
     # ---- 7. score just the delta pairs against the merged features
     d_scored_t = runner.run_stage(
@@ -290,42 +301,53 @@ def incremental_update(
             "left_anti",
         )
 
-    _apply_merge(
-        "score",
+    def _merge_scored():
+        if n_changed == 0:
+            # no old pair can touch a brand-new url — pure fast append
+            return master["score"].append(d_scored_t.read(spark))
         # at scale this is a partition-local MERGE/delete on a
         # bucket(url_a)-partitioned Iceberg table; the sandbox stand-in
         # rewrites (same anti-join shuffle shape, copy-on-write flavor)
-        lambda: master["score"].overwrite(
+        return master["score"].overwrite(
             _kept_old_scored().unionByName(d_scored_t.read(spark))
-        ),
-    )
+        )
+
+    _apply_merge("score", _merge_scored)
 
     # ---- 8. cluster by contraction
     def _cluster() -> DataFrame:
         old_assign = master["cluster"].read(spark, snapshot_id=base["cluster"])
-        dissolved = (
-            old_assign.join(delta_url_df.hint("broadcast"), "url")
-            .select("cluster_id")
-            .distinct()
-        )
-        stars = old_assign.join(dissolved, "cluster_id", "left_anti").select(
-            F.col("url").alias("src"), F.col("cluster_id").alias("dst")
-        )
-        dissolved_members = old_assign.join(dissolved, "cluster_id").select("url")
-        replay = _kept_old_scored().where(
-            F.col("score") >= cfg.score_threshold
-        ).join(
-            dissolved_members.withColumnRenamed("url", "url_a"), "url_a"
-        ).select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         new_edges = (
             d_scored_t.read(spark)
             .where(F.col("score") >= cfg.score_threshold)
             .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         )
-        assign, rounds = connected_components(
-            stars.unionByName(replay).unionByName(new_edges),
-            max_iter=cfg.cc_max_iter,
-        )
+        if n_changed == 0:
+            # insert-only batch: no old edge died, so NO cluster needs
+            # dissolving — every prior assignment enters as a star edge
+            # and the old edge set is never touched
+            stars = old_assign.select(
+                F.col("url").alias("src"), F.col("cluster_id").alias("dst")
+            )
+            cc_in = stars.unionByName(new_edges)
+        else:
+            dissolved = (
+                old_assign.join(delta_url_df.hint("broadcast"), "url")
+                .select("cluster_id")
+                .distinct()
+            )
+            stars = old_assign.join(dissolved, "cluster_id", "left_anti").select(
+                F.col("url").alias("src"), F.col("cluster_id").alias("dst")
+            )
+            dissolved_members = old_assign.join(dissolved, "cluster_id").select("url")
+            replay = (
+                _kept_old_scored()
+                .where(F.col("score") >= cfg.score_threshold)
+                .join(dissolved_members.withColumnRenamed("url", "url_a"), "url_a")
+                .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+            )
+            cc_in = stars.unionByName(replay).unionByName(new_edges)
+        assign, rounds = connected_components(cc_in, max_iter=cfg.cc_max_iter)
         metrics.add(stage("cluster"), "cc_rounds", rounds)
         return assign
 

@@ -80,13 +80,31 @@ def _classify_blocks(
     generation, counted in ``stats``). Returns (classified_df,
     n_joinable, n_hot); the classified table is localCheckpoint-
     materialized so membership joins don't re-aggregate ``blocked``."""
-    sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
     # the size profile feeds two actions (the class-stats aggregate and
     # the classification checkpoint); persist so blocked is scanned and
     # aggregated once, then unpersist immediately after both actions —
     # nothing in the returned plan references it
-    sizes = sizes.persist()
+    sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n")).persist()
+    out = _classify_sizes(sizes, max_block_size, broadcast_threshold, prefix_caps, stats)
+    sizes.unpersist()
+    return out
 
+
+def _classify_sizes(
+    sizes: DataFrame,
+    max_block_size: int,
+    broadcast_threshold: int,
+    prefix_caps: dict[str, int] | None,
+    stats: PairGenStats | None,
+    restrict_to: DataFrame | None = None,
+):
+    """Classification over a pre-aggregated (block_key, n) size profile
+    (persisted by the caller, who may reuse it for other aggregates).
+    ``restrict_to`` (a block_key df) prunes the MATERIALIZED
+    classification table to those keys — the profile stats stay global
+    (the admission policy is corpus-wide), but a delta batch only ever
+    joins against the blocks it touches, so checkpointing the rest would
+    be O(corpus-distinct-keys) of wasted memory per batch."""
     cap_expr = _cap_expr(max_block_size, prefix_caps)
 
     prof = (
@@ -121,12 +139,10 @@ def _classify_blocks(
             int(cls_rows["oversize"]["pairs"]) if "oversize" in cls_rows else 0
         )
 
-    classified = (
-        prof.where(F.col("cls") != "oversize")
-        .select("block_key", "cls")
-        .localCheckpoint(eager=True)
-    )
-    sizes.unpersist()
+    keep = prof.where(F.col("cls") != "oversize").select("block_key", "cls")
+    if restrict_to is not None:
+        keep = keep.join(restrict_to.hint("broadcast"), "block_key", "left_semi")
+    classified = keep.localCheckpoint(eager=True)
     return classified, n_joinable, n_hot
 
 
@@ -198,73 +214,96 @@ def delta_candidate_pairs(
     stats: PairGenStats | None = None,
     prefix_caps: dict[str, int] | None = DEFAULT_PREFIX_CAPS,
     membership_broadcast_limit: int = MEMBERSHIP_BROADCAST_LIMIT,
-    blocked_prior: DataFrame | None = None,
+    prior_changed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for an incremental batch: every (url_a < url_b)
     pair sharing a block where AT LEAST ONE side is a delta url.
 
-    The cost is proportional to the delta's block memberships times
-    their block sizes — NOT to the corpus: the delta side of the join is
-    ``blocked_all ⋈ delta_urls`` (delta memberships only), the other
-    side the full membership of just those blocks. Old-old pairs are
-    never regenerated; the caller keeps their previously-scored rows.
+    Cost model (the reason this is not a filtered candidate_pairs): the
+    only full-corpus work is ONE map-side-combined size aggregate over
+    ``blocked_all`` (O(distinct keys) output — the same admission
+    profile a full recompute computes). Everything downstream is pruned
+    to the blocks the delta touches BEFORE any shuffle: the touched-key
+    list (small — O(delta × keys/doc)) broadcast-semi-joins the big
+    membership side, so the pair join shuffles members of touched
+    blocks only, not the corpus. Old-old pairs are never regenerated;
+    the caller keeps their previously-scored rows.
 
     Classification (cap / hot / small) runs over the COMBINED block
-    sizes — the same profile a full recompute would see — so a batch
-    never quietly grows a block past the admission policy. Blocks the
-    batch pushes PAST the cap get no new pairs (their delta members are
-    reachable via other keys, as in ``candidate_pairs``), but their
-    previously-scored pairs are grandfathered by the caller rather than
-    retracted: at the 10^12-doc design point, un-matching existing
-    masters because a block crossed an admission threshold would regress
-    recall on untouched records. Every such block is counted in
-    ``stats.grandfathered_blocks`` / ``grandfathered_pairs_est`` (pass
-    ``blocked_prior`` = the pre-batch blocked table to enable the
-    detection aggregate), so the drift is observable and a periodic full
-    re-block can reconcile it.
+    sizes, so a batch never quietly grows a block past the admission
+    policy. Blocks the batch pushes PAST the cap get no new pairs
+    (their delta members stay reachable via other keys, as in
+    ``candidate_pairs``), but their previously-scored pairs are
+    grandfathered by the caller rather than retracted: at the 10^12-doc
+    design point, un-matching existing masters because a block crossed
+    an admission threshold would regress recall on untouched records.
+    Crossings are DERIVED, not rescanned: prior_size = combined_size −
+    delta_memberships + prior_memberships_of_changed_urls, so detection
+    costs one small join against the touched-key aggregate instead of a
+    second full-table scan. ``prior_changed`` = the PRE-batch (url,
+    block_key) rows of urls whose capture changed (None/empty for
+    insert-only batches — the common crawl-append case). Every crossing
+    lands in ``stats.grandfathered_blocks`` / ``grandfathered_pairs_est``
+    so the drift is observable and a periodic full re-block reconciles.
 
     ``n_keys`` counts generating (delta-membership, block) events, not
     the full run's per-pair key count — downstream scoring ignores it.
     """
-    classified, n_joinable, n_hot = _classify_blocks(
-        blocked_all, max_block_size, broadcast_threshold, prefix_caps, stats
+    sizes = (
+        blocked_all.groupBy("block_key").agg(F.count(F.lit(1)).alias("n")).persist()
     )
 
-    if blocked_prior is not None and stats is not None:
+    d = delta_urls.select("url").distinct()
+    # delta memberships (url, block_key): the batch is small relative to
+    # the corpus by construction, so its url list rides a broadcast hash
+    # join; a mega-batch degrades to a shuffle join via Catalyst's size
+    # estimate (hint, not forced broadcast)
+    dm_all = blocked_all.join(d.hint("broadcast"), "url")
+    # the touched-key list is reused three times (classification prune,
+    # crossing join, membership prune): materialize once
+    touched = dm_all.select("block_key").distinct().localCheckpoint(eager=True)
+
+    classified, n_joinable, n_hot = _classify_sizes(
+        sizes,
+        max_block_size,
+        broadcast_threshold,
+        prefix_caps,
+        stats,
+        restrict_to=touched,
+    )
+
+    if stats is not None:
         cap_expr = _cap_expr(max_block_size, prefix_caps)
-        prior_sizes = blocked_prior.groupBy("block_key").agg(
-            F.count(F.lit(1)).alias("n_prior")
-        )
-        now_sizes = blocked_all.groupBy("block_key").agg(
-            F.count(F.lit(1)).alias("n_now")
-        )
-        crossed = (
-            prior_sizes.join(now_sizes, "block_key")
-            .where(
-                (F.col("n_prior") > 1)
-                & (F.col("n_prior") <= cap_expr)
-                & (F.col("n_now") > cap_expr)
+        deltas = dm_all.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_d"))
+        j = sizes.join(deltas.hint("broadcast"), "block_key")
+        if prior_changed is not None:
+            pc = prior_changed.groupBy("block_key").agg(
+                F.count(F.lit(1)).alias("n_pc")
             )
+            j = j.join(pc.hint("broadcast"), "block_key", "left").na.fill({"n_pc": 0})
+        else:
+            j = j.withColumn("n_pc", F.lit(0))
+        n_prior = F.col("n") - F.col("n_d") + F.col("n_pc")
+        crossed = (
+            j.where((n_prior > 1) & (n_prior <= cap_expr) & (F.col("n") > cap_expr))
             .agg(
                 F.count(F.lit(1)).alias("k"),
-                F.sum(F.col("n_prior") * (F.col("n_prior") - 1) / 2).alias("pairs"),
+                F.sum(n_prior * (n_prior - 1) / 2).alias("pairs"),
             )
             .first()
         )
         stats.grandfathered_blocks = int(crossed["k"] or 0)
         stats.grandfathered_pairs_est = int(crossed["pairs"] or 0)
+    sizes.unpersist()
 
+    # prune the big side to delta-touched blocks BEFORE anything
+    # shuffles: broadcast semi-join, evaluated map-side at the scan
+    pruned = blocked_all.join(touched.hint("broadcast"), "block_key", "left_semi")
     if n_joinable <= membership_broadcast_limit:
-        member = blocked_all.join(F.broadcast(classified), "block_key")
+        member = pruned.join(F.broadcast(classified), "block_key")
     else:
-        member = blocked_all.join(classified, "block_key")
-
-    # delta memberships: the batch is small relative to the corpus by
-    # construction, so its url list rides a broadcast hash join; a
-    # mega-batch degrades to a shuffle join via Catalyst's size estimate
-    # (hint, not forced broadcast)
-    d = delta_urls.select("url").distinct().hint("broadcast")
-    dm = member.join(d, "url")
+        member = pruned.join(classified, "block_key")
+    dm = member.join(d.hint("broadcast"), "url")
 
     def join_delta(cls_name: str, broadcast_right: bool) -> DataFrame:
         a = dm.where(F.col("cls") == cls_name).select("block_key", "url").alias("a")

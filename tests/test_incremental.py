@@ -159,8 +159,9 @@ def test_incremental_rerun_is_noop(spark, inc):
 
 def test_delta_pairs_cap_crossing_detected(spark):
     """A block pushed past the cap by the batch yields NO new pairs and
-    is counted as grandfathered; a block still under the cap yields only
-    delta-touching pairs (old-old pairs are never regenerated)."""
+    is counted as grandfathered (derived from combined sizes minus delta
+    memberships — no prior-table scan); a block still under the cap
+    yields only delta-touching pairs (old-old pairs never regenerate)."""
     prior = spark.createDataFrame(
         [(f"u{i}", "k") for i in range(5)] + [("u8", "m"), ("u9", "m")],
         "url string, block_key string",
@@ -180,7 +181,6 @@ def test_delta_pairs_cap_crossing_detected(spark):
             broadcast_threshold=100,
             stats=stats,
             prefix_caps=None,
-            blocked_prior=prior,
         ).collect()
     }
     # block k: 5 prior + 2 delta = 7 > cap 6 → no pairs, grandfathered
@@ -189,3 +189,45 @@ def test_delta_pairs_cap_crossing_detected(spark):
     assert stats.grandfathered_pairs_est == 10  # C(5,2) previously scored
     # block m: u8,u9 prior + u10 delta → only pairs touching u10
     assert pairs == {("u10", "u8"), ("u10", "u9")}
+
+
+def test_insert_only_batch_equals_full(spark, tmp_path_factory):
+    """The append fast path (no changed urls → no dissolution, fast
+    appends everywhere) must also match a frozen-profile full recompute
+    exactly."""
+    root = tmp_path_factory.mktemp("inc-insert")
+    corpus = str(root / "corpus")
+    generate_corpus(corpus, n_pages=400, seed=5)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    in_delta = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+    base_path, delta_path, union_path = (
+        str(root / "base.parquet"),
+        str(root / "delta.parquet"),
+        str(root / "union.parquet"),
+    )
+    pages.where(~in_delta).write.parquet(base_path)
+    pages.where(in_delta).write.parquet(delta_path)
+    pages.write.parquet(union_path)
+
+    caps = {"d:": 400}
+    wd = str(root / "wd")
+    run_pipeline(spark, base_path, wd, PipelineConfig(prefix_caps=caps))
+    s1 = incremental_update(spark, delta_path, wd, PipelineConfig(prefix_caps=caps))
+    assert s1["changed_urls"] == 0
+    assert s1["pair_stats"]["grandfathered_blocks"] == 0
+
+    wd_full = str(root / "wd_full")
+    run_pipeline(
+        spark,
+        union_path,
+        wd_full,
+        PipelineConfig(prefix_caps=caps, frozen_profile=os.path.join(wd, "profile")),
+    )
+    cols = ["url", "cluster_id", "is_golden"]
+    a = sorted(tuple(r) for r in Table(os.path.join(wd, "golden")).read(spark).select(*cols).collect())
+    b = sorted(tuple(r) for r in Table(os.path.join(wd_full, "golden")).read(spark).select(*cols).collect())
+    assert a == b
+    sc = ["url_a", "url_b", "score"]
+    x = {tuple(r) for r in Table(os.path.join(wd, "score")).read(spark).select(*sc).collect()}
+    y = {tuple(r) for r in Table(os.path.join(wd_full, "score")).read(spark).select(*sc).collect()}
+    assert x == y
