@@ -1,0 +1,154 @@
+"""Continuous linkage tests (mdmpublic_spark/streaming/linkage.py).
+
+The binding checks: (1) a stream of landed page files folds into the
+master run micro-batch by micro-batch and lands EXACTLY where a
+frozen-profile full recompute over the union lands; (2) restarting the
+query over the same checkpoint re-folds nothing; (3) newly-landed files
+after a restart keep folding.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdmpublic_spark.gen.synth import generate_corpus
+from mdmpublic_spark.pipeline import PipelineConfig, run_pipeline
+from mdmpublic_spark.streaming.linkage import start_incremental_linkage
+from mdmpublic_spark.tables import Table
+
+CAPS = {"d:": 400}
+
+
+def _land(df, tmp_dir: str, landing: str, name: str) -> None:
+    """Write df as ONE flat parquet file into the landing dir (the
+    atomically-delivered crawl-segment shape a file stream expects)."""
+    staged = os.path.join(tmp_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(staged)
+    part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(part, os.path.join(landing, f"{name}.parquet"))
+
+
+@pytest.fixture(scope="module")
+def linkage(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream-linkage")
+    corpus = str(root / "corpus")
+    generate_corpus(corpus, n_pages=600, seed=11)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+
+    slot = F.pmod(F.xxhash64("url"), F.lit(6))
+    base = pages.where(slot >= 3)
+    d1 = pages.where(slot < 1)
+    d2 = pages.where((slot >= 1) & (slot < 3))
+
+    base_path = str(root / "base.parquet")
+    union_path = str(root / "union.parquet")
+    base.write.parquet(base_path)
+    pages.write.parquet(union_path)
+
+    landing = str(root / "landing")
+    _land(d1, str(root), landing, "segment-001")
+    _land(d2, str(root), landing, "segment-002")
+
+    wd = str(root / "wd")
+    run_pipeline(spark, base_path, wd, PipelineConfig(prefix_caps=CAPS))
+
+    ckpt = str(root / "ckpt")
+    start_incremental_linkage(
+        spark,
+        landing,
+        wd,
+        ckpt,
+        config=PipelineConfig(prefix_caps=CAPS),
+        max_files_per_trigger=1,
+    )
+
+    wd_full = str(root / "wd_full")
+    run_pipeline(
+        spark,
+        union_path,
+        wd_full,
+        PipelineConfig(prefix_caps=CAPS, frozen_profile=os.path.join(wd, "profile")),
+    )
+    return {
+        "root": root,
+        "wd": wd,
+        "wd_full": wd_full,
+        "landing": landing,
+        "ckpt": ckpt,
+        "pages": pages,
+    }
+
+
+def test_streamed_clusters_equal_full_recompute(spark, linkage):
+    cols = ["url", "cluster_id", "is_golden"]
+    a = sorted(
+        tuple(r)
+        for r in Table(os.path.join(linkage["wd"], "golden")).read(spark).select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in Table(os.path.join(linkage["wd_full"], "golden")).read(spark).select(*cols).collect()
+    )
+    assert a == b
+    sc = ["url_a", "url_b", "score"]
+    x = {tuple(r) for r in Table(os.path.join(linkage["wd"], "score")).read(spark).select(*sc).collect()}
+    y = {tuple(r) for r in Table(os.path.join(linkage["wd_full"], "score")).read(spark).select(*sc).collect()}
+    assert x == y
+
+
+def test_per_batch_lineage_log(linkage):
+    """maxFilesPerTrigger=1 over two landed segments ⇒ two folded epochs,
+    each with its counters in the lineage log."""
+    log = os.path.join(linkage["wd"], "_stream_linkage_log.jsonl")
+    entries = [json.loads(ln) for ln in open(log)]
+    assert len(entries) == 2
+    assert [e["epoch"] for e in entries] == sorted(e["epoch"] for e in entries)
+    assert all(e["new_urls"] > 0 for e in entries)
+    assert all(e["ran"] for e in entries)
+
+
+def test_restart_is_noop_then_new_files_fold(spark, linkage):
+    wd = linkage["wd"]
+    snaps_before = {
+        n: Table(os.path.join(wd, n)).current_snapshot_id()
+        for n in ("score", "golden")
+    }
+    # restart over the same checkpoint with no new files: nothing re-folds
+    start_incremental_linkage(
+        spark, linkage["landing"], wd, linkage["ckpt"],
+        config=PipelineConfig(prefix_caps=CAPS), max_files_per_trigger=1,
+    )
+    log = os.path.join(wd, "_stream_linkage_log.jsonl")
+    assert len(open(log).readlines()) == 2
+    snaps_mid = {
+        n: Table(os.path.join(wd, n)).current_snapshot_id()
+        for n in ("score", "golden")
+    }
+    assert snaps_mid == snaps_before
+
+    # a third segment lands (previously-unseen recaptures are not needed;
+    # reuse a disjoint slice of the corpus? no — all 6 slots are folded.
+    # Land 20 brand-new synthetic captures derived from existing pages
+    # with new urls): the stream must fold exactly one more epoch.
+    pages = linkage["pages"]
+    extra = (
+        pages.orderBy("url").limit(20)
+        .withColumn("url", F.concat(F.col("url"), F.lit("?v=2")))
+    )
+    _land(extra, str(linkage["root"]), linkage["landing"], "segment-003")
+    start_incremental_linkage(
+        spark, linkage["landing"], wd, linkage["ckpt"],
+        config=PipelineConfig(prefix_caps=CAPS), max_files_per_trigger=1,
+    )
+    entries = [json.loads(ln) for ln in open(log)]
+    assert len(entries) == 3
+    assert entries[-1]["new_urls"] == 20
+    golden = Table(os.path.join(wd, "golden")).read(spark)
+    assert golden.where(F.col("url").endswith("?v=2")).count() == 20
