@@ -14,6 +14,7 @@ Scale notes (design target: 1000-executor cluster, ~100 TB input):
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 
@@ -36,6 +37,19 @@ def package_zip() -> str:
     base = os.path.join(staging, "mdmpublic_spark_pkg")
     shutil.copytree(pkg_dir, os.path.join(base, "mdmpublic_spark"))
     return shutil.make_archive(base, "zip", base)
+
+
+def _master_slots(master: str) -> int:
+    """Task slots implied by a local[N] master (N, or the machine's cores
+    for local[*]); for cluster masters the executor count isn't knowable
+    at session-build time, so fall back to the machine's cores — the
+    resulting scan-split floor is a lower bound a real cluster's
+    spark-submit conf should override (spark.sql.files.minPartitionNum
+    ≈ 3x total executor cores)."""
+    m = re.match(r"local\[(\*|\d+)\]", master)
+    if m and m.group(1) != "*":
+        return int(m.group(1))
+    return os.cpu_count() or 8
 
 
 def _local_dir() -> str:
@@ -121,6 +135,21 @@ def get_spark(
         # parquet scans: 128 MiB splits keep partitions executor-memory sized
         # at 100 TB (≈800k tasks — fine; Spark scheduling handles millions).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # ... but floor the split COUNT at 3 waves of task slots. Spark
+        # sizes splits as min(maxPartitionBytes, max(openCost,
+        # totalBytes/minPartitionNum)) with minPartitionNum defaulting to
+        # ONE wave, so a mid-sized table (totalBytes within ~1-3x of
+        # 128 MiB x cores) scans as barely-more-than-cores fat splits and
+        # the last partial wave straggles: measured at 1.92M pages /
+        # local[8], the extract table (~1.3 GB) scanned as 10x128 MiB
+        # tasks, running the CPU-heavy feature-hash stage as 8+2 waves —
+        # 84 s wall vs 51 s of task-time/core (evlog stage 96), and the
+        # same 10 splits left 22 of 32 cores idle at local[32] (features
+        # 83.5 s > local[8]'s 69.9 s in one bench rep). 3 waves caps the
+        # tail-wave loss at ~1/3 wave ≈ 11%; at 100 TB
+        # totalBytes/minPartitionNum >> 128 MiB so this floor never binds
+        # and splits stay 128 MiB.
+        .config("spark.sql.files.minPartitionNum", str(3 * _master_slots(master)))
         # deterministic float behavior in pandas UDFs regardless of host arrow
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         # Smaller Arrow batches pipeline the JVM->worker feed against the
