@@ -23,6 +23,8 @@ operators/pairs.py.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, functions as F
 
 from mdmpublic_spark.functions.hashing import (
@@ -78,6 +80,7 @@ def _postings_jaccard(
     only when df_cap covers the corpus — at web scale the cap makes
     this a recall-bounded approximation, logged by the caller.
     """
+    _t = Fraction(str(threshold)).limit_denominator(10_000)
     # No .cache() although toks feeds three branches: the posting map is
     # one codegen'd scan-side map (cheap to recompute), while a persisted
     # posting table pins executor memory for the caller's whole session
@@ -103,8 +106,12 @@ def _postings_jaccard(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
-        # integer-exact threshold test: inter/union >= t  ⇔  inter*10 >= t*10*union
-        .where(F.col("inter_n") * 10 >= F.lit(int(threshold * 10)) * F.col("union_n"))
+        # integer-exact threshold test: t as the exact rational p/q, so
+        # inter/union >= t  ⇔  inter*q >= p*union — no float boundary at
+        # any decimal threshold (0.6 → 3/5, 0.95 → 19/20, ...)
+        .where(
+            F.col("inter_n") * _t.denominator >= F.lit(_t.numerator) * F.col("union_n")
+        )
         .select("id_a", "id_b", "inter_n", "union_n")
     )
 

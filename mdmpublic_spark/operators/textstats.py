@@ -114,3 +114,46 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(
         id_col, F.posexplode(fingerprint(F.col("text"))).alias("fp_rank", "fp")
     )
+
+
+def group_median(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact per-group median via ``applyInPandas`` — the grouped-map
+    Arrow UDF pattern (SURVEY.md §2.10): ship each whole group to one
+    Python worker as a pandas frame and run arbitrary per-group logic.
+
+    Exact median is the canonical case where the pattern earns its cost:
+    Spark's built-in ``percentile_approx`` is an approximation, and the
+    exact built-in ``median``/``percentile`` aggregates buffer the full
+    group on the JVM side anyway, so the grouped-map UDF is no worse
+    asymptotically while demonstrating the general mechanism (any numpy/
+    pandas computation per group). Scale story: ``groupBy(...).
+    applyInPandas`` shuffles complete groups — one group must fit in one
+    worker's memory. Grouping keys here are domains/sources, whose
+    per-key row counts the profile stage already bounds; for heavy-hat
+    keys at 100 TB, pre-aggregate to (key, value, count) first (the
+    weighted-median trick) or fall back to percentile_approx.
+
+    Output: (group_col, median_<value_col> double, n_rows bigint).
+    """
+    import pandas as pd
+
+    out_schema = f"{group_col} string, median_{value_col} double, n_rows long"
+
+    def _median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                f"median_{value_col}": [float(pdf[value_col].median())],
+                "n_rows": [len(pdf)],
+            }
+        )
+
+    return (
+        docs.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(_median, schema=out_schema)
+    )

@@ -66,6 +66,78 @@ def dedup_clusters(
     )
 
 
+def cc_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components over an SQL-expressible edge set.
+
+    The full pipeline's match edges come from MinHash + a scoring UDF
+    cascade, which no SQL oracle can reproduce — so the iterative
+    large-star/small-star operator (clustering.py) gets its own
+    value-hash check here: edges = exact token-Jaccard ≥ 0.95 pairs
+    (the same integer-exact join the dd_token_jaccard_pairs oracle
+    already verifies), components solved by the DISTRIBUTED star loop
+    (small_graph_threshold=0 disables the driver union-find shortcut so
+    the shuffling path is what's checked), output = the complete
+    (doc_id, cluster_id) assignment with cluster_id = min member id.
+    The DuckDB oracle recomputes the same pairs and closes them with a
+    recursive-CTE label propagation — transitive closure is exact at
+    oracle scale, while the Spark side stays O(log n) rounds at any
+    scale.
+    """
+    from mdmpublic_spark.operators.dedup import token_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = token_jaccard_pairs(docs, threshold=0.95)
+    # zero-pad ids so the operator's lexicographic min == numeric min
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 10, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 10, "0").alias("dst"),
+    )
+    assign, _ = connected_components(edges, small_graph_threshold=0)
+    return assign.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+CC_JACCARD_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+    joinable AS (
+      SELECT d.doc_id, d.tok FROM d JOIN dfreq USING (tok)
+      WHERE dfreq.df > 1 AND dfreq.df <= 10000
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+      FROM joinable a JOIN joinable b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE inter_n * 20 >= 19 * (sa.n + sb.n - inter_n)
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship top-K: largest duplicate clusters (singletons included so the
     result is non-empty on a duplicate-free corpus)."""

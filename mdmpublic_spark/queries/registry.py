@@ -15,7 +15,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mdmpublic_spark.queries import coverage, ops_sources, relational, training_data
-from mdmpublic_spark.queries.er_documents import dedup_cluster_summary
+from mdmpublic_spark.queries.er_documents import (
+    CC_JACCARD_ORACLE,
+    cc_jaccard_clusters,
+    dedup_cluster_summary,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -53,4 +57,7 @@ def _ensure() -> None:
     # ER flagship — MinHash-LSH + iterative CC: not SQL-expressible,
     # driver records the rows-only check
     register("er_dedup_cluster_summary", dedup_cluster_summary)
+    # the iterative star loop itself, value-hash-checked over an
+    # SQL-expressible edge set (recursive-CTE closure in DuckDB)
+    register("er_cc_jaccard_clusters", cc_jaccard_clusters, CC_JACCARD_ORACLE)
     _loaded = True

@@ -130,6 +130,11 @@ def ta_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(_docs(spark, sf_dir))
 
 
+def ta_group_median(spark, sf_dir):
+    # grouped-map applyInPandas (§2.10): exact per-source median doc size
+    return textstats.group_median(_docs(spark, sf_dir), "source", "n_chars")
+
+
 # ------------------------------------------------------ scoring functions ---
 
 
@@ -422,6 +427,14 @@ ORACLES: dict[str, str] = {
     # iterated acc·FNV + byte recurrence in functions/hashing.py); the
     # documents corpus is pure ASCII so ord(char) == utf-8 byte, and every
     # doc is > 8 chars so only the rolling path applies
+    # exact median: integer inputs make every median either k or k+0.5,
+    # both exactly representable — safe for value-hash comparison
+    "ta_group_median": """
+        SELECT source,
+               CAST(median(n_chars) AS DOUBLE) AS median_n_chars,
+               count(*) AS n_rows
+        FROM documents GROUP BY source
+    """,
     "ta_fingerprints": """
         WITH codes AS (
           SELECT doc_id,
@@ -596,6 +609,7 @@ _FNS = {
     "ta_language_id": ta_language_id,
     "ta_quality_scores": ta_quality_scores,
     "ta_fingerprints": ta_fingerprints,
+    "ta_group_median": ta_group_median,
     "mm_media_manifest": mm_media_manifest,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_plan": mm_frame_plan,

@@ -352,3 +352,54 @@ def test_jw_quantization_cross_engine_exact(spark):
             assert py_q == int(dq), (a[:20], b[:20], py_q, int(dq))
             checked += 1
     assert checked > 400  # both corpora actually compared
+
+
+def test_jaccard_threshold_exact_at_two_decimals(spark):
+    """The rational threshold (19/20 for 0.95) must include J == 0.95
+    exactly and exclude anything below — no float boundary drift."""
+    a_toks = " ".join(f"t{i:02d}" for i in range(20))          # 20 tokens
+    b_toks = " ".join(f"t{i:02d}" for i in range(19))          # 19 of them
+    c_toks = " ".join(f"t{i:02d}" for i in range(18)) + " zz"  # 18 + 1 new
+    df = spark.createDataFrame(
+        [(1, a_toks), (2, b_toks), (3, c_toks)], "doc_id long, text string"
+    )
+    pairs = dedup.token_jaccard_pairs(df, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"]) for r in pairs}
+    # J(a,b) = 19/20 = 0.95 exactly -> kept; J(a,c) = 18/21, J(b,c) = 18/20 -> dropped
+    assert got == {(1, 2): (19, 20)}
+
+
+def test_cc_jaccard_clusters_invariants(spark):
+    from mdmpublic_spark.queries.er_documents import cc_jaccard_clusters
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    assign = cc_jaccard_clusters(spark, sf_dir).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in assign:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert len(assign) > 0
+    for cid, members in by_cluster.items():
+        # representative is the min member id and belongs to the cluster
+        assert cid == min(members)
+        # components are non-trivial (every assigned node touched an edge)
+        assert len(members) >= 2
+
+
+def test_group_median_matches_pandas(spark):
+    import pandas as pd
+
+    from mdmpublic_spark.operators.textstats import group_median
+
+    rows = [
+        ("a", 1), ("a", 2), ("a", 3),            # odd group -> 2.0
+        ("b", 10), ("b", 20),                    # even group -> 15.0
+        ("c", 7), ("c", 8), ("c", 9), ("c", 100) # even, .5 midpoint -> 8.5
+    ]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r["source"]: (r["median_n_chars"], r["n_rows"])
+        for r in group_median(df, "source", "n_chars").collect()
+    }
+    exp = pd.DataFrame(rows, columns=["source", "n_chars"]).groupby("source")
+    for src, grp in exp:
+        assert got[src] == (float(grp["n_chars"].median()), len(grp))
