@@ -133,3 +133,83 @@ def cosine(a, b) -> float:
 
 def hamming64(x: int, y: int) -> int:
     return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+
+def _pad_encode(strs, lengths, width: int) -> np.ndarray:
+    """Pack strings into a zero-padded (n, width) uint32 codepoint matrix."""
+    M = np.zeros((len(strs), max(width, 1)), dtype=np.uint32)
+    for k, s in enumerate(strs):
+        lk = lengths[k]
+        if lk:
+            M[k, :lk] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return M
+
+
+def jaro_winkler_batch(strs_a, strs_b, p: float = 0.1, max_prefix: int = 4) -> np.ndarray:
+    """Vectorized Jaro-Winkler over aligned string lists.
+
+    Bit-identical to ``jaro_winkler`` pair-wise (pinned by
+    tests/test_training_ops.py::test_jw_batch_equals_scalar): the greedy
+    window matching runs column-by-column over a (pairs × chars)
+    codepoint matrix — the sequential i-loop is kept (matching is
+    order-dependent) but each step processes EVERY pair at once, and the
+    transposition/jaro/winkler arithmetic uses the same IEEE op order as
+    the scalar. ~10× the scalar's throughput on ≤80-char titles because
+    the per-char inner window scan becomes one C-side row op.
+    """
+    n = len(strs_a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    la = np.fromiter((len(s) for s in strs_a), np.int64, count=n)
+    lb = np.fromiter((len(s) for s in strs_b), np.int64, count=n)
+    out[(la == 0) & (lb == 0)] = 1.0
+    act = (la > 0) & (lb > 0)
+    if not act.any():
+        return out
+    La, Lb = int(la.max()), int(lb.max())
+    A = _pad_encode(strs_a, la, La)
+    B = _pad_encode(strs_b, lb, Lb)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    matchA = np.zeros((n, La), dtype=bool)
+    matchB = np.zeros((n, Lb), dtype=bool)
+    colsB = np.arange(Lb)
+    for i in range(La):
+        rows = act & (la > i)
+        ai = A[:, i]
+        # candidate = same char, unmatched, inside the per-pair window
+        cand = (B == ai[:, None]) & ~matchB
+        cand &= (colsB >= (i - window)[:, None]) & (colsB < np.minimum(i + window + 1, lb)[:, None])
+        cand &= rows[:, None]
+        hasm = cand.any(axis=1)
+        j = cand.argmax(axis=1)  # first available j — the scalar's greedy pick
+        matchB[np.nonzero(hasm)[0], j[hasm]] = True
+        matchA[hasm, i] = True
+    m = matchA.sum(axis=1)
+    # transpositions: gather each side's matched chars in order, compare
+    maxm = int(m.max(initial=0))
+    t = np.zeros(n, dtype=np.int64)
+    if maxm > 0:
+        ra = np.cumsum(matchA, axis=1) - 1
+        rb = np.cumsum(matchB, axis=1) - 1
+        SA = np.zeros((n, maxm), dtype=np.uint32)
+        SB = np.zeros((n, maxm), dtype=np.uint32)
+        ia, ja = np.nonzero(matchA)
+        SA[ia, ra[ia, ja]] = A[ia, ja]
+        ib, jb = np.nonzero(matchB)
+        SB[ib, rb[ib, jb]] = B[ib, jb]
+        t = ((SA != SB) & (np.arange(maxm) < m[:, None])).sum(axis=1) // 2
+    # common prefix (≤ max_prefix, capped by the shorter string)
+    w = min(max_prefix, La, Lb)
+    if w > 0:
+        eqp = (A[:, :w] == B[:, :w]) & (np.arange(w) < np.minimum(la, lb)[:, None])
+        pref = np.cumprod(eqp, axis=1).sum(axis=1)
+    else:
+        pref = np.zeros(n, dtype=np.int64)
+    good = act & (m > 0)
+    mf = m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jar = (mf / la + mf / lb + (mf - t) / mf) / 3.0
+        jw = jar + pref * p * (1.0 - jar)
+    out[good] = jw[good]
+    return out

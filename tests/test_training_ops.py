@@ -403,3 +403,25 @@ def test_group_median_matches_pandas(spark):
     exp = pd.DataFrame(rows, columns=["source", "n_chars"]).groupby("source")
     for src, grp in exp:
         assert got[src] == (float(grp["n_chars"].median()), len(grp))
+
+
+def test_jw_batch_equals_scalar():
+    """jaro_winkler_batch must be bit-identical to the scalar on random
+    strings (incl. empties, equal strings, transposition-heavy cases)."""
+    import random
+
+    from mdmpublic_spark.functions.similarity import jaro_winkler, jaro_winkler_batch
+
+    rng = random.Random(1234)
+    alpha = "abcde _-:/é漢"
+    cases = [("", ""), ("a", ""), ("", "b"), ("abc", "abc"),
+             ("martha", "marhta"), ("dixon", "dicksonx"), ("crate", "trace")]
+    for _ in range(4000):
+        la, lb = rng.randrange(0, 40), rng.randrange(0, 40)
+        cases.append((
+            "".join(rng.choice(alpha) for _ in range(la)),
+            "".join(rng.choice(alpha) for _ in range(lb)),
+        ))
+    got = jaro_winkler_batch([a for a, _ in cases], [b for _, b in cases])
+    for (a, b), g in zip(cases, got):
+        assert g == jaro_winkler(a, b), (a, b)
