@@ -36,6 +36,9 @@ HEADLINE = [
     "a8_time_buckets",
     "w1_lag_interval",
     "w3_latest_per_group",
+    "dd_minhash_pairs",
+    "ta_token_stats",
+    "ann_brute_force_topk",
     "er_dedup_cluster_summary",
 ]
 
