@@ -67,6 +67,7 @@ def run_once(
     pkg_zip: str,
     warmup_pages: str | None = None,
     pin_cpus: int | None = None,
+    timeout: int = 3600,
 ) -> dict:
     # work tables on the RAM-backed tmpfs for the same reason get_spark
     # puts spark.local.dir there (mdmpublic_spark/session.py:_local_dir):
@@ -135,7 +136,7 @@ def run_once(
         "--warmup-pages", warmup_pages or pages,
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=timeout)
     last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not last:
         raise RuntimeError(f"pipeline produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
@@ -155,6 +156,8 @@ def main() -> None:
     ap.add_argument("--warmup-pages", type=int, default=20000,
                     help="size of the small warmup corpus (0 = warm up on the full input)")
     ap.add_argument("--report", default=None, help="markdown file to append the table to")
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-run subprocess timeout in seconds (raise for multi-M-page inputs)")
     args = ap.parse_args()
 
     from mdmpublic_spark.session import package_zip
@@ -179,6 +182,7 @@ def main() -> None:
                 pkg,
                 warmup_pages=warmup,
                 pin_cpus=cores if args.pin else None,
+                timeout=args.timeout,
             )
             st = steal_share(t0, read_cpu_ticks())
             a = acc[cores]
