@@ -83,6 +83,42 @@ def test_backup_chain_and_point_in_time_restore(spark, tmp_path):
     assert mgr2.backup(t, "diff")["method"] == "full"
 
 
+def test_backup_survives_overwrite_midchain(spark, tmp_path):
+    """An overwrite drops every prior data dir from ``covers``; the chain
+    must restore both the new state (newest gen) and the pre-overwrite
+    state (point-in-time gen), pulling each dir from whichever earlier
+    generation stored it."""
+    t = Table(str(tmp_path / "t"))
+    mgr = BackupManager(str(tmp_path / "bk"))
+    t.overwrite(spark.range(5).toDF("v"))
+    g1 = mgr.backup(t, "full")
+    t.overwrite(spark.range(100, 103).toDF("v"))
+    g2 = mgr.backup(t, "diff")  # stores only the new dir; covers == [it]
+    assert len(g2["stored"]) == 1 and g2["covers"] == g2["stored"]
+    r_new = mgr.restore(str(tmp_path / "rn"))
+    assert {x["v"] for x in r_new.read(spark).collect()} == {100, 101, 102}
+    r_old = mgr.restore(str(tmp_path / "ro"), gen_id=g1["gen_id"])
+    assert {x["v"] for x in r_old.read(spark).collect()} == set(range(5))
+
+
+def test_backup_second_full_resets_accu_base(spark, tmp_path):
+    """accu = changed since the LAST full — a newer full must shrink the
+    accu increment to only what came after it (cbbackup's -m accu)."""
+    t = Table(str(tmp_path / "t"))
+    mgr = BackupManager(str(tmp_path / "bk"))
+    t.overwrite(spark.range(3).toDF("v"))
+    mgr.backup(t, "full")
+    t.append(spark.range(3, 6).toDF("v"))
+    mgr.backup(t, "diff")
+    t.append(spark.range(6, 9).toDF("v"))
+    mgr.backup(t, "full")  # second full: stores all 3 dirs, resets base
+    t.append(spark.range(9, 12).toDF("v"))
+    g = mgr.backup(t, "accu")
+    assert len(g["stored"]) == 1  # only the post-full append, not 2
+    r = mgr.restore(str(tmp_path / "r"))
+    assert {x["v"] for x in r.read(spark).collect()} == set(range(12))
+
+
 def test_merge_upsert_idempotent(spark, tmp_path):
     t = Table(str(tmp_path / "m"))
     t.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
