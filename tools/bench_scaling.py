@@ -16,7 +16,13 @@ The sandbox is a shared VM: hypervisor steal spikes showed 3x wall-time
 swings between identical runs, so each configuration runs ``--repeats``
 times and the MINIMUM wall (least-disturbed run) is scored; per-run
 walls and the steal-time share measured from /proc/stat are reported
-alongside so the noise is visible, not hidden.
+alongside so the noise is visible, not hidden. Steal alone is not
+enough — one measured afternoon the guest's pure-ALU 2->8 scaling
+ceiling fell to 0.708 (vs 0.989 clean) with steal <=1.5% — so each
+batch also brackets itself with a busy-loop host-ceiling probe
+(tools/cpu_capacity.py's workload) and records pre/post readings in the
+output JSON: a batch whose ceiling reads well below ~0.95 ran on a
+degraded host and its walls can only add noise, never minima.
 
 Usage:  python tools/bench_scaling.py [--n-pages 120000] [--repeats 3] [--report BENCH.md]
 """
@@ -33,8 +39,20 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def host_cpu_ceiling(small: int, big: int, seconds: float = 2.0, repeats: int = 2) -> float:
+    """The machine's own N->4N scaling ceiling right now: best-of pure-ALU
+    busy-loop throughput at ``big`` pinned procs over ``small``, normalized
+    by the core ratio. No job of any kind can scale better than this."""
+    from cpu_capacity import measure
+
+    c_small = max(measure(small, seconds, "cpu") for _ in range(repeats)) / seconds
+    c_big = max(measure(big, seconds, "cpu") for _ in range(repeats)) / seconds
+    return round(c_big / c_small / (big / small), 3)
 
 
 def ensure_corpus(n_pages: int) -> str:
@@ -169,6 +187,15 @@ def main() -> None:
     if args.warmup_pages and args.warmup_pages < args.n_pages:
         warmup = os.path.join(ensure_corpus(args.warmup_pages), "pages.parquet")
 
+    pre_ceiling = host_cpu_ceiling(args.small, args.big)
+    print(f"# host ALU ceiling {args.small}->{args.big} (pre): {pre_ceiling}", file=sys.stderr)
+    if pre_ceiling < 0.9:
+        print(
+            "# WARNING: degraded host window — no process can scale past this "
+            "ceiling right now; this batch's walls cannot set new minima",
+            file=sys.stderr,
+        )
+
     # interleave configs (rep-major) so slow ambient-noise drift on the
     # shared VM hits both parallelism levels evenly instead of whichever
     # config happened to run during the noisy window
@@ -209,6 +236,9 @@ def main() -> None:
         print(f"# local[{cores}]: best {wall:.1f}s  {results[cores]['pages_per_sec']} pages/s",
               file=sys.stderr)
 
+    post_ceiling = host_cpu_ceiling(args.small, args.big)
+    print(f"# host ALU ceiling {args.small}->{args.big} (post): {post_ceiling}", file=sys.stderr)
+
     t_small = results[args.small]["wall_seconds"]
     t_big = results[args.big]["wall_seconds"]
     ratio = args.big / args.small
@@ -218,6 +248,7 @@ def main() -> None:
         "value": round(efficiency, 3),
         "unit": f"speedup/(cores ratio {ratio:.0f}x)",
         "n_pages": args.n_pages,
+        "host_alu_ceiling": {"pre": pre_ceiling, "post": post_ceiling},
         "runs": {f"local[{c}]": v for c, v in results.items()},
     }
     print(json.dumps(summary))
