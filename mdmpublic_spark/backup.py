@@ -35,12 +35,18 @@ from mdmpublic_spark.tables import Snapshot, Table
 MANIFEST = "_backups.json"
 
 
-def weekday_method(day: _dt.date, incremental_mode: str = "diff") -> str:
-    """Monday → full; other days → the configured incremental mode
-    (mirrors the weekday→method map in cb_backup.py:62-70)."""
-    if incremental_mode not in ("diff", "accu"):
+def weekday_method(day: _dt.date, incremental_mode: str | None = None) -> str:
+    """Sunday → full, Wednesday → accu(mulate), other days → diff
+    (mirrors the weekday→method map in cb_backup.py:62-70 exactly).
+    Passing ``incremental_mode`` overrides the non-full days with one
+    fixed incremental method (the config-driven deployment variant)."""
+    if incremental_mode not in (None, "diff", "accu"):
         raise ValueError(f"bad incremental mode {incremental_mode!r}")
-    return "full" if day.weekday() == 0 else incremental_mode
+    if day.weekday() == 6:  # Sunday
+        return "full"
+    if incremental_mode is not None:
+        return incremental_mode
+    return "accu" if day.weekday() == 2 else "diff"  # Wednesday → accumulate
 
 
 class BackupManager:

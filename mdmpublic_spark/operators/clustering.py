@@ -98,6 +98,13 @@ def _union_find_assign(pairs: list[tuple[str, str]]) -> dict[str, str]:
     }
 
 
+# Python-side cost of one collected edge: two str objects (~49 B header
+# each) + the pair tuple + the union-find parent-dict entries the pair
+# induces. Measured with sys.getsizeof on 60-80 char url pairs: ~230-260 B
+# fixed + the url payload itself.
+_EDGE_FIXED_OVERHEAD = 240
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
@@ -105,6 +112,7 @@ def connected_components(
     rounds_per_check: int = 1,
     small_graph_threshold: int = 2_000_000,
     edge_count: int | None = None,
+    driver_collect_budget_bytes: int = 256 << 20,
 ) -> tuple[DataFrame, int]:
     """edges(src,dst) → assignments(url, cluster_id); returns (df, rounds).
 
@@ -113,15 +121,20 @@ def connected_components(
     (golden.py does this with one left join + coalesce).
 
     **Adaptive strategy** (the CC analog of a broadcast join): when the
-    distinct edge count is at most ``small_graph_threshold``, the edge
-    list is collected and solved with driver-side union-find — exact,
-    deterministic (identical min-url representatives), and free of the
-    per-round shuffle floor that dominates the distributed loop on small
-    graphs. Larger graphs run the large-star/small-star loop, whose
-    round count is O(log n) regardless of size. Pass ``edge_count`` (an
-    upper bound is fine, e.g. the scored-pair row count from the stage
-    manifest) to skip the sizing job. Rounds returned is 0 for the
-    union-find path.
+    distinct edge count is at most ``small_graph_threshold`` AND the
+    estimated driver footprint (count × (avg url-pair bytes +
+    ``_EDGE_FIXED_OVERHEAD``)) fits ``driver_collect_budget_bytes``
+    (default 256 MB), the edge list is collected and solved with
+    driver-side union-find — exact, deterministic (identical min-url
+    representatives), and free of the per-round shuffle floor that
+    dominates the distributed loop on small graphs. The bytes gate is
+    the binding one: 2M edges of 80-char urls would be GB-class driver
+    heap with dict overhead, so the count threshold alone is
+    memory-optimistic. Larger graphs run the large-star/small-star
+    loop, whose round count is O(log n) regardless of size. Pass
+    ``edge_count`` (an upper bound is fine, e.g. the scored-pair row
+    count from the stage manifest) to skip the sizing job. Rounds
+    returned is 0 for the union-find path.
 
     ``rounds_per_check`` can fuse several star rounds per convergence
     check; measured on this AQE setup one round per check is fastest
@@ -137,11 +150,16 @@ def connected_components(
         .distinct()
     )
     if edge_count is None or edge_count <= small_graph_threshold:
-        # eager localCheckpoint: the count sizes the strategy and the
-        # checkpointed edges feed whichever path wins without a rescan
+        # eager localCheckpoint: the sizing agg drives the strategy and
+        # the checkpointed edges feed whichever path wins without a rescan
         e = e.localCheckpoint(eager=True) if not reliable else e.checkpoint(eager=True)
-        n_edges = e.count()
-        if n_edges <= small_graph_threshold:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("u") + F.length("v")).alias("pair_len"),
+        ).first()
+        n_edges = int(row["n"])
+        est_bytes = n_edges * (float(row["pair_len"] or 0.0) + _EDGE_FIXED_OVERHEAD)
+        if n_edges <= small_graph_threshold and est_bytes <= driver_collect_budget_bytes:
             spark = e.sparkSession
             assign = _union_find_assign(
                 [(r["u"], r["v"]) for r in e.collect()]

@@ -16,9 +16,11 @@ Four families over a document corpus (SURVEY.md §2 + task brief):
 
 Scale notes: every family is (narrow map) → (shuffle on a key) →
 (bounded verify). The verify joins carry only ids + signatures, never
-full text. Posting lists for ubiquitous tokens are capped (df_cap)
-with a logged counter — the same quadratic-skew policy as
-operators/pairs.py.
+full text, and every posting/verify key is xxhash64'd to int64 before
+it shuffles — 8 bytes/key instead of raw token/gram/shingle strings
+(the dominant byte volume of this family at corpus scale). Posting
+lists for ubiquitous tokens are capped (df_cap) with a logged counter —
+the same quadratic-skew policy as operators/pairs.py.
 """
 
 from __future__ import annotations
@@ -81,6 +83,16 @@ def _postings_jaccard(
     this a recall-bounded approximation, logged by the caller.
     """
     _t = Fraction(str(threshold)).limit_denominator(10_000)
+    # Hash each token/gram to int64 BEFORE anything shuffles: the posting
+    # rows (id, tok) are the dominant byte volume of this family, and a
+    # raw 5-40 byte string per posting is pure waste when only equality
+    # matters downstream — every groupBy/join here keys on the hash (8
+    # bytes, fixed) instead. Distinctness per doc is preserved w.h.p.
+    # (xxhash64 collisions at ~10^12 distinct grams: ~10^-7 corpus-wide);
+    # counts — and therefore the integer-exact Jaccard test — are
+    # unchanged. Same move as the ER scoring path (scoring.py int32
+    # feature hashing).
+    toks = toks.select(id_col, F.xxhash64("tok").alias("tok"))
     # No .cache() although toks feeds three branches: the posting map is
     # one codegen'd scan-side map (cheap to recompute), while a persisted
     # posting table pins executor memory for the caller's whole session
@@ -145,10 +157,11 @@ def charngram_jaccard_pairs(
     exact dups still pair. Gram extraction is a native substr transform
     over a sequence — whole-stage codegen, no UDF; everything downstream
     is the shared posting-list machinery, so the 100 TB story (shuffle
-    on gram, df-capped hot grams, ids-only pair join) is identical to
-    token Jaccard. Char n-grams are denser per doc than tokens (~1 gram
-    per char), so at scale prefer a larger ``n`` and/or hashing grams to
-    int64 before the shuffle (xxhash64 on the gram column) to cut bytes.
+    on xxhash64(gram) int64 keys, df-capped hot grams, ids-only pair
+    join) is identical to token Jaccard. Char n-grams are denser per doc
+    than tokens (~1 gram per char), so at scale prefer a larger ``n``;
+    the gram→int64 hashing in _postings_jaccard already keeps the
+    posting shuffle at 8 bytes/key regardless of gram width.
     """
     txt = F.lower(F.col("text"))
     length = F.length(txt)
@@ -261,8 +274,11 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verify on candidates only
+    # exact verify on candidates only; hash the verify key to int64 for
+    # the same shuffle-byte reason as _postings_jaccard (shingles are
+    # ~3 words of text each — the worst offenders as raw string keys)
     toks = shingled(docs, id_col) if verify == "shingle" else tokenized(docs, id_col)
+    toks = toks.select(id_col, F.xxhash64("tok").alias("tok"))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")

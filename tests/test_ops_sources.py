@@ -53,10 +53,13 @@ def test_expand_source_list_mixed(tmp_path):
 
 
 def test_weekday_method_map():
-    mon = datetime.date(2024, 1, 1)  # a Monday
-    assert weekday_method(mon) == "full"
-    assert weekday_method(mon + datetime.timedelta(days=1)) == "diff"
-    assert weekday_method(mon + datetime.timedelta(days=2), "accu") == "accu"
+    # cb_backup.py:62-70 map: Sunday full, Wednesday accu, rest diff
+    sun = datetime.date(2024, 1, 7)  # a Sunday
+    days = [weekday_method(sun + datetime.timedelta(days=i)) for i in range(7)]
+    assert days == ["full", "diff", "diff", "accu", "diff", "diff", "diff"]
+    # config-driven override pins the incremental method, full day stays
+    assert weekday_method(sun, "accu") == "full"
+    assert weekday_method(sun + datetime.timedelta(days=3), "diff") == "diff"
 
 
 def test_backup_chain_and_point_in_time_restore(spark, tmp_path):

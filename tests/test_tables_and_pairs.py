@@ -127,6 +127,31 @@ def test_cc_union_find_equals_distributed(spark):
     assert a == b
 
 
+def test_cc_driver_collect_budget_is_bytes_aware(spark):
+    """The union-find shortcut is gated on estimated DRIVER BYTES, not
+    just edge count: a graph within the count threshold but over the
+    byte budget must fall back to the distributed loop — with the same
+    assignment either way (boundary test for clustering.py's
+    driver_collect_budget_bytes)."""
+    from mdmpublic_spark.operators.clustering import (
+        _EDGE_FIXED_OVERHEAD,
+        connected_components,
+    )
+
+    edges = [(f"u{i:05d}", f"u{i + 1:05d}") for i in range(50)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    pair_len = 12.0  # two 6-char node ids
+    just_over = int(len(edges) * (pair_len + _EDGE_FIXED_OVERHEAD)) - 1
+    just_under = int(len(edges) * (pair_len + _EDGE_FIXED_OVERHEAD)) + 16
+
+    fast, r_fast = connected_components(df, driver_collect_budget_bytes=just_under)
+    dist, r_dist = connected_components(df, driver_collect_budget_bytes=just_over)
+    assert r_fast == 0 and r_dist >= 1
+    a = {(r["url"], r["cluster_id"]) for r in fast.collect()}
+    b = {(r["url"], r["cluster_id"]) for r in dist.collect()}
+    assert a == b and len({c for _, c in a}) == 1
+
+
 def test_jvm_scoring_bit_equals_python_udf(spark, corpus_dir):
     """The JVM-expression score path (array_intersect + levenshtein built-in
     + JW-only UDF) must reproduce the all-Python scoring UDF bit-for-bit:

@@ -52,7 +52,9 @@ def host_cpu_ceiling(small: int, big: int, seconds: float = 2.0, repeats: int = 
 
     c_small = max(measure(small, seconds, "cpu") for _ in range(repeats)) / seconds
     c_big = max(measure(big, seconds, "cpu") for _ in range(repeats)) / seconds
-    return round(c_big / c_small / (big / small), 3)
+    # clamp: a hard ceiling cannot exceed 1.0 — best-of-2 noise on a 2s
+    # probe occasionally reads slightly above (observed 1.012)
+    return round(min(1.0, c_big / c_small / (big / small)), 3)
 
 
 def ensure_corpus(n_pages: int) -> str:
@@ -238,6 +240,14 @@ def main() -> None:
 
     post_ceiling = host_cpu_ceiling(args.small, args.big)
     print(f"# host ALU ceiling {args.small}->{args.big} (post): {post_ceiling}", file=sys.stderr)
+    if post_ceiling < 0.9:
+        # the window can also collapse MID-batch (observed pre 0.949 ->
+        # post 0.874) — flag it the same way, not just record it
+        print(
+            "# WARNING: degraded host window at batch END — the window "
+            "collapsed mid-run; this batch's walls cannot set new minima",
+            file=sys.stderr,
+        )
 
     t_small = results[args.small]["wall_seconds"]
     t_big = results[args.big]["wall_seconds"]
