@@ -31,16 +31,32 @@ from mdmpublic_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "j1_broadcast_lookup",
-    "j3_anti_join",
+    "j_anti_joins",           # r2 name: j3_anti_join (+ j4, merged registry entry)
     "j9_asof_span",
-    "a8_time_buckets",
-    "w1_lag_interval",
-    "w3_latest_per_group",
-    "dd_minhash_pairs",
-    "ta_token_stats",
-    "ann_brute_force_topk",
+    "a_rollup_buckets",       # r2 name: a8_time_buckets (+ a7)
+    "w_window_family",        # r2 names: w1_lag_interval + w3_latest_per_group (+ w2/w5)
+    "dd_minhash_pairs",       # oracle config: 64 bands × 1 row (recall-1)
+    "dd_minhash_production",  # production config: LSH_BANDS×LSH_ROWS (21×3) — the
+                              # path real users run, regression-tracked per VERDICT r2
+    "ta_text_profile",        # r2 name: ta_token_stats (+ language_id, quality)
+    "ann_exact_topk",         # r2 name: ann_brute_force_topk (+ ivf full probe)
     "er_dedup_cluster_summary",
 ]
+
+
+def _dd_minhash_production(spark, sf_dir):
+    """MinHash-LSH at the pipeline's production banding (21 bands × 3
+    rows, token verify at 0.5) — not a registry entry (the approximate
+    band config has no exact SQL oracle; dd_minhash_pairs checks the
+    same machinery at the recall-1 config), but benchmarked so the
+    configuration users actually run is visible round over round."""
+    from mdmpublic_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.5, verify="token")
+
+
+EXTRA = {"dd_minhash_production": _dd_minhash_production}
 
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -54,7 +70,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="mdm-bench")
-    qs = registry.queries()
+    qs = registry.queries() | EXTRA
 
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(WARMUP_SF_DIR):
         for name in HEADLINE:

@@ -254,9 +254,36 @@ def g1_block_pair_scores(spark, sf_dir):
     return block_pair_scores(blocked)
 
 
+# --------------------------------------------------- blocking-key profile ---
+
+
+def b1_blocking_profile(spark, sf_dir):
+    """Blocking-key cardinality profile (SURVEY.md §2.4): per blocking
+    key — `source`, the normalized-domain key the ER pipeline blocks on —
+    row count, distinct-text count, and the implied within-block pair
+    count n·(n−1)/2. This is the skew profile that sizes the
+    pair-generation stage before it runs (the reference sizes blocks the
+    same way before its match pass). Exact countDistinct here so the
+    DuckDB oracle can hash-match; at 100 TB the one-line swap is
+    approx_count_distinct (HLL, no exact-distinct shuffle) —
+    tests/test_training_ops.py pins that variant within 5% of exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique_texts"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("bigint").alias("n_pairs"),
+    )
+
+
 # ------------------------------------------------------------- oracles ---
 
 ORACLES: dict[str, str] = {
+    "b1_blocking_profile": """
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique_texts,
+               (count(*) * (count(*) - 1) // 2)::BIGINT AS n_pairs
+        FROM documents GROUP BY source
+    """,
     "s2_partition_stats": """
         SELECT (event_id % 8)::INT AS bucket, count(*) AS n_rows
         FROM events GROUP BY 1
@@ -336,6 +363,7 @@ ORACLES: dict[str, str] = {
 }
 
 _FNS = {
+    "b1_blocking_profile": b1_blocking_profile,
     "s2_partition_stats": s2_partition_stats,
     "p3_pattern_removal": p3_pattern_removal,
     "p4_comment_strip": p4_comment_strip,
@@ -347,7 +375,3 @@ _FNS = {
     "g1_block_pair_scores": g1_block_pair_scores,
 }
 
-
-def register_all(register) -> None:
-    for name, fn in _FNS.items():
-        register(name, fn, ORACLES.get(name))

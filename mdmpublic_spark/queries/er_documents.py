@@ -138,6 +138,91 @@ CC_JACCARD_ORACLE = """
 """
 
 
+def cluster_summary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's output SHAPE with a hash oracle: top-K duplicate-
+    cluster summary (sizes + member ids) over the exact token-Jaccard
+    ≥ 0.95 edge set — the SQL-expressible twin of dedup_cluster_summary
+    (whose LSH-blocked + scoring-cascade edges no SQL engine can
+    reproduce, hence its rows-only driver row). Singletons included via
+    the same left-join/coalesce the flagship uses; ties broken by
+    cluster_id so the LIMIT is deterministic on both engines. Exercises
+    the ADAPTIVE connected-components path (driver union-find under the
+    byte budget at oracle scale, distributed star loop above it) —
+    er_cc_jaccard_clusters pins the distributed loop explicitly."""
+    from mdmpublic_spark.operators.dedup import token_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = token_jaccard_pairs(docs, threshold=0.95)
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 10, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 10, "0").alias("dst"),
+    )
+    assign, _ = connected_components(edges)
+    members = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url")
+    )
+    full = members.join(assign, "url", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("url"))
+    )
+    return (
+        full.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("url").alias("max_doc"))
+        .orderBy(F.desc("n_docs"), F.asc("cluster_id"))
+        .limit(20)
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_docs",
+            F.col("max_doc").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
+CLUSTER_SUMMARY_EXACT_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+    joinable AS (
+      SELECT d.doc_id, d.tok FROM d JOIN dfreq USING (tok)
+      WHERE dfreq.df > 1 AND dfreq.df <= 10000
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+      FROM joinable a JOIN joinable b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE inter_n * 20 >= 19 * (sa.n + sb.n - inter_n)
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    assigned AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    everyone AS (
+      SELECT d.doc_id, coalesce(a.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN assigned a USING (doc_id)
+    )
+    SELECT cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc
+    FROM everyone GROUP BY cluster_id
+    ORDER BY n_docs DESC, cluster_id ASC LIMIT 20
+"""
+
+
 def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship top-K: largest duplicate clusters (singletons included so the
     result is non-empty on a duplicate-free corpus)."""

@@ -192,7 +192,3 @@ _FNS = {
     "s12_backup_restore": s12_backup_restore,
 }
 
-
-def register_all(register) -> None:
-    for name, fn in _FNS.items():
-        register(name, fn, ORACLES.get(name))

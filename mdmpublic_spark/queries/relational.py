@@ -671,7 +671,3 @@ _FNS = {
     "s5_regex_parse": s5_regex_parse,
 }
 
-
-def register_all(register) -> None:
-    for name, fn in _FNS.items():
-        register(name, fn, ORACLES.get(name))

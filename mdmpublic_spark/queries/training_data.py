@@ -616,7 +616,3 @@ _FNS = {
     "mm_resize_plan": mm_resize_plan,
 }
 
-
-def register_all(register) -> None:
-    for name, fn in _FNS.items():
-        register(name, fn, ORACLES.get(name))

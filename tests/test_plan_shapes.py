@@ -29,7 +29,10 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def qs():
-    return registry.queries()
+    # components(): the pre-merge per-operator queries — plan assertions
+    # stay per-operator even though the driver registry serves merged
+    # family-tagged unions (queries/merged.py)
+    return registry.components()
 
 
 # Lazy DataFrame builders only: st_* run a stream on construction and
@@ -52,6 +55,18 @@ LAZY_ENTRIES = [
     "dd_embedding_near_dup", "ann_brute_force_topk", "ann_lsh_topk",
     "ann_ivf_topk", "ta_token_stats", "ta_language_id",
     "ta_quality_scores", "ta_fingerprints", "mm_resize_plan",
+    "b1_blocking_profile",
+]
+
+# Merged registry entries whose plan builds lazily (no fixture writes or
+# eager jobs on construction) — the union wrappers the driver actually
+# runs must be as cartesian-free as their components.
+LAZY_MERGED = [
+    "dd_jaccard_pairs", "ann_exact_topk", "ann_approx_topk",
+    "ta_text_profile", "sc_pair_scores", "mm_pipeline",
+    "j_anti_joins", "j_semi_theta", "j2_w4_session_stats",
+    "a_counts_flags", "a_rollup_buckets", "w_window_family",
+    "t_set_ops", "s_scalar_funcs",
 ]
 
 
@@ -61,11 +76,15 @@ def test_no_cartesian_product_anywhere(spark, qs):
     query. (BroadcastNestedLoopJoin is allowed — it is the deliberate
     shape of the theta join J7 and of tiny-side probes like the IVF
     centroid assignment, where one side is bounded by construction.)"""
-    missing = [n for n in LAZY_ENTRIES if n not in qs]
+    reg = registry.queries()
+    targets = [(n, qs[n]) for n in LAZY_ENTRIES] + [(n, reg[n]) for n in LAZY_MERGED]
+    missing = [n for n in LAZY_ENTRIES if n not in qs] + [
+        n for n in LAZY_MERGED if n not in reg
+    ]
     assert not missing, f"stale test list: {missing}"
     offenders = {}
-    for name in LAZY_ENTRIES:
-        p = plan_of(qs[name](spark, SF_SMOKE))
+    for name, fn in targets:
+        p = plan_of(fn(spark, SF_SMOKE))
         if "CartesianProduct" in p:
             offenders[name] = p[:400]
     assert not offenders, f"all-pairs joins in: {sorted(offenders)}"
