@@ -425,3 +425,25 @@ def test_jw_batch_equals_scalar():
     got = jaro_winkler_batch([a for a, _ in cases], [b for _, b in cases])
     for (a, b), g in zip(cases, got):
         assert g == jaro_winkler(a, b), (a, b)
+
+
+def test_blocking_profile_approx_distinct_within_5pct(spark):
+    """b1_blocking_profile uses exact countDistinct so its DuckDB oracle
+    hash-matches; the documented 100 TB swap is approx_count_distinct
+    (HLL sketch, rsd=0.02 — no exact-distinct shuffle). Pin the approx
+    variant within 5% of exact per blocking key so the swap is a
+    measured claim, not a hope."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = docs.groupBy("source").agg(
+        F.countDistinct(F.md5(F.col("text"))).alias("exact"),
+        F.approx_count_distinct(F.md5(F.col("text")), rsd=0.02).alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), (
+            r["source"], r["exact"], r["approx"]
+        )

@@ -57,6 +57,23 @@ def host_cpu_ceiling(small: int, big: int, seconds: float = 2.0, repeats: int = 
     return round(min(1.0, c_big / c_small / (big / small)), 3)
 
 
+def host_mem_ceiling(
+    small: int, big: int, mem_mb: int, mode: str = "mem",
+    seconds: float = 3.0, repeats: int = 2,
+) -> float:
+    """The machine's N->4N ceiling for MEMORY-bound work at a working set
+    MATCHED to the job under test's per-task footprint (pass the measured
+    number, don't assume 256 MB): best-of streaming-sum (``mem``) or
+    random-gather (``memrand``) throughput at ``big`` pinned procs over
+    ``small``, normalized by the core ratio. A pipeline whose hot stages
+    stream/shuffle data cannot scale past this on a single socket."""
+    from cpu_capacity import measure
+
+    c_small = max(measure(small, seconds, mode, mem_mb) for _ in range(repeats)) / seconds
+    c_big = max(measure(big, seconds, mode, mem_mb) for _ in range(repeats)) / seconds
+    return round(min(1.0, c_big / c_small / (big / small)), 3)
+
+
 def ensure_corpus(n_pages: int) -> str:
     d = f"/tmp/mdm_scale_corpus_{n_pages}"
     if not os.path.exists(os.path.join(d, "pages.parquet")):
@@ -136,6 +153,11 @@ def run_once(
         "SPARK_GRAFT_DRIVER_JAVA_OPTS",
         f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
     )
+    # extra submit confs (e.g. event logging for a per-stage byte audit):
+    # SPARK_GRAFT_EXTRA_SUBMIT_CONF="spark.eventLog.enabled=true;spark.eventLog.dir=file:/tmp/evlog"
+    extra_confs: list[str] = []
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_SUBMIT_CONF", "").split(";")):
+        extra_confs += ["--conf", kv.strip()]
     cmd = pin + [
         spark_submit,
         "--master", master,
@@ -146,6 +168,7 @@ def run_once(
         "--conf", f"spark.driver.extraJavaOptions={jvm_opts}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.log.level=WARN",
+        *extra_confs,
         os.path.join(REPO, "mdmpublic_spark", "pipeline.py"),
         "--pages", pages,
         "--work-dir", work,
@@ -178,6 +201,11 @@ def main() -> None:
     ap.add_argument("--report", default=None, help="markdown file to append the table to")
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-run subprocess timeout in seconds (raise for multi-M-page inputs)")
+    ap.add_argument("--mem-probe-mb", type=int, default=0,
+                    help="if >0, also bracket the batch with matched-footprint "
+                         "memory-bandwidth ceilings (mem + memrand at this "
+                         "per-process working set) — pass the measured per-task "
+                         "footprint of the job under test")
     args = ap.parse_args()
 
     from mdmpublic_spark.session import package_zip
@@ -191,6 +219,16 @@ def main() -> None:
 
     pre_ceiling = host_cpu_ceiling(args.small, args.big)
     print(f"# host ALU ceiling {args.small}->{args.big} (pre): {pre_ceiling}", file=sys.stderr)
+    pre_mem = post_mem = None
+    if args.mem_probe_mb:
+        pre_mem = {
+            mode: host_mem_ceiling(args.small, args.big, args.mem_probe_mb, mode)
+            for mode in ("mem", "memrand")
+        }
+        print(
+            f"# host mem ceiling {args.small}->{args.big} @{args.mem_probe_mb}MB "
+            f"(pre): {pre_mem}", file=sys.stderr,
+        )
     if pre_ceiling < 0.9:
         print(
             "# WARNING: degraded host window — no process can scale past this "
@@ -240,6 +278,15 @@ def main() -> None:
 
     post_ceiling = host_cpu_ceiling(args.small, args.big)
     print(f"# host ALU ceiling {args.small}->{args.big} (post): {post_ceiling}", file=sys.stderr)
+    if args.mem_probe_mb:
+        post_mem = {
+            mode: host_mem_ceiling(args.small, args.big, args.mem_probe_mb, mode)
+            for mode in ("mem", "memrand")
+        }
+        print(
+            f"# host mem ceiling {args.small}->{args.big} @{args.mem_probe_mb}MB "
+            f"(post): {post_mem}", file=sys.stderr,
+        )
     if post_ceiling < 0.9:
         # the window can also collapse MID-batch (observed pre 0.949 ->
         # post 0.874) — flag it the same way, not just record it
@@ -261,6 +308,10 @@ def main() -> None:
         "host_alu_ceiling": {"pre": pre_ceiling, "post": post_ceiling},
         "runs": {f"local[{c}]": v for c, v in results.items()},
     }
+    if args.mem_probe_mb:
+        summary["host_mem_ceiling"] = {
+            "mem_mb": args.mem_probe_mb, "pre": pre_mem, "post": post_mem,
+        }
     print(json.dumps(summary))
 
     if args.report:
