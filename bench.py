@@ -41,6 +41,9 @@ HEADLINE = [
     "ta_text_profile",        # r2 name: ta_token_stats (+ language_id, quality)
     "ann_exact_topk",         # r2 name: ann_brute_force_topk (+ ivf full probe)
     "er_dedup_cluster_summary",
+    "er_dedup_cosine",        # same flagship pipeline + the embedding-cosine
+                              # cascade term (partial coverage at sf0.1 by
+                              # design — exercises the left-join/coalesce arm)
 ]
 
 
@@ -56,7 +59,19 @@ def _dd_minhash_production(spark, sf_dir):
     return minhash_lsh_pairs(docs, threshold=0.5, verify="token")
 
 
-EXTRA = {"dd_minhash_production": _dd_minhash_production}
+def _er_dedup_cosine(spark, sf_dir):
+    """The flagship ER pipeline with the optional embedding-cosine
+    cascade term enabled (scoring.score_pairs embeddings/w_cos) — the
+    VERDICT-r2 item: the built arm is now exercised and benchmarked."""
+    from mdmpublic_spark.queries.er_documents import dedup_cluster_summary
+
+    return dedup_cluster_summary(spark, sf_dir, use_embeddings=True)
+
+
+EXTRA = {
+    "dd_minhash_production": _dd_minhash_production,
+    "er_dedup_cosine": _er_dedup_cosine,
+}
 
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

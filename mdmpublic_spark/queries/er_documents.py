@@ -40,10 +40,45 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_as_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings(vec_id, embedding) → (url, embedding) keyed by the same
+    doc:// url scheme documents_as_pages builds (vec_id ≡ doc_id; the
+    source segment comes from a broadcast-sized join with documents).
+    Coverage may be PARTIAL (sf0.1 embeds 2000 of 5000 docs) — exactly
+    the shape score_pairs' left-join/coalesce cosine arm is built for."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return emb.join(docs, "doc_id").select(
+        F.concat(
+            F.lit("doc://"),
+            F.col("source"),
+            F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+        ).alias("url"),
+        "embedding",
+    )
+
+
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = DEFAULT_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    use_embeddings: bool = False,
+    w_cos: float = 0.1,
 ) -> DataFrame:
-    """Full in-memory ER pass → (url, cluster_id) for every document."""
+    """Full in-memory ER pass → (url, cluster_id) for every document.
+
+    ``use_embeddings=True`` turns on the scoring cascade's optional
+    embedding-cosine term (scoring.score_pairs ``embeddings``/``w_cos``):
+    two extra scoped shuffle-hash left joins widen each pair with its
+    vectors, the cosine is a JVM-side zip_with/aggregate fold, and
+    missing embeddings contribute 0 — the blend gains w_cos·cos_emb for
+    gated pairs. Benchmarked as ``er_dedup_cosine`` in bench.py; the
+    numeric contract is pinned by tests/test_tables_and_pairs.py::
+    test_score_pairs_optional_embedding_cosine."""
     pages = documents_as_pages(spark, sf_dir)
     prof = common_shingles(pages, min_stop_df=20, stop_frac=0.01).select(
         "h", "h32"
@@ -57,7 +92,8 @@ def dedup_clusters(
     blocked = dom.unionByName(lsh)
     pairs = candidate_pairs(blocked)
     feats = page_features(pages, stop_hashes32=stop_hashes32)
-    _, edges = score_pairs(pairs, feats, threshold=threshold)
+    emb = embeddings_as_urls(spark, sf_dir) if use_embeddings else None
+    _, edges = score_pairs(pairs, feats, threshold=threshold, embeddings=emb, w_cos=w_cos)
     assign, _ = connected_components(edges.select("src", "dst"))
     return (
         pages.join(assign, "url", "left")
@@ -223,10 +259,12 @@ CLUSTER_SUMMARY_EXACT_ORACLE = """
 """
 
 
-def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_summary(
+    spark: SparkSession, sf_dir: str, use_embeddings: bool = False
+) -> DataFrame:
     """Flagship top-K: largest duplicate clusters (singletons included so the
     result is non-empty on a duplicate-free corpus)."""
-    clustered = dedup_clusters(spark, sf_dir)
+    clustered = dedup_clusters(spark, sf_dir, use_embeddings=use_embeddings)
     return (
         clustered.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("url").alias("example_doc"))

@@ -224,3 +224,21 @@ def test_score_pairs_optional_embedding_cosine(spark):
     assert rows[("a1", "a2")]["score"] == b[("a1", "a2")] + 0.25
     assert rows[("b1", "b2")]["score"] == b[("b1", "b2")]
     assert rows[("c1", "c2")]["score"] == b[("c1", "c2")]
+
+
+def test_flagship_with_embedding_cosine_runs(spark):
+    """dedup_cluster_summary(use_embeddings=True) — the headline ER path
+    with the cosine cascade term — must produce a full assignment (same
+    doc count as the base path) over the sf0.001 tables, where the
+    embeddings table covers every doc."""
+    from tests.conftest import SF_SMOKE
+
+    from mdmpublic_spark.queries.er_documents import dedup_clusters
+
+    base = dedup_clusters(spark, SF_SMOKE)
+    cos = dedup_clusters(spark, SF_SMOKE, use_embeddings=True)
+    assert cos.count() == base.count()
+    # the synthetic embeddings are independent of text, so a small-weight
+    # cosine term may move borderline pairs, but every url keeps exactly
+    # one cluster assignment
+    assert cos.select("url").distinct().count() == cos.count()
