@@ -143,3 +143,50 @@ def test_read_event_log_drops_malformed_lines(spark, tmp_path):
     )
     rows = read_event_log(spark, str(p)).collect()
     assert len(rows) == 1 and rows[0]["event_id"] == 42 and rows[0]["user_id"] == 7
+
+
+def test_http_source_driver_side(spark, tmp_path):
+    """S4: probe-gated fetch over file:// urls (hermetic — same urllib
+    handler chain as http://): good urls land as typed rows, a missing
+    url is skipped with a warning, a required-but-absent header skips,
+    and on_error='fail' raises."""
+    import pytest
+
+    from mdmpublic_spark.sources.httpsrc import read_http_source
+
+    (tmp_path / "a.txt").write_bytes(b"alpha payload")
+    (tmp_path / "b.txt").write_bytes(b"beta")
+    good = [f"file://{tmp_path}/a.txt", f"file://{tmp_path}/b.txt"]
+    missing = f"file://{tmp_path}/nope.txt"
+
+    df = read_http_source(spark, good + [missing])
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == set(good)
+    assert rows[good[0]]["n_bytes"] == 13
+    assert bytes(rows[good[0]]["payload"]) == b"alpha payload"
+    # file:// responses carry Content-Length but never X-Absent
+    assert read_http_source(spark, good, require_header="X-Absent").count() == 0
+    assert read_http_source(spark, good, require_header="Content-Length").count() == 2
+    with pytest.raises(OSError):
+        read_http_source(spark, [missing], on_error="fail")
+
+
+def test_http_source_distributed_matches_driver(spark, tmp_path):
+    """fetch_distributed (mapInPandas, executor-side) must return the
+    same rows as the driver-side fetch for the same url list."""
+    from mdmpublic_spark.sources.httpsrc import fetch_distributed, read_http_source
+
+    urls = []
+    for i in range(6):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(bytes([i]) * (i + 1))
+        urls.append(f"file://{p}")
+    urls.append(f"file://{tmp_path}/missing.bin")
+
+    drv = read_http_source(spark, urls)
+    dist = fetch_distributed(
+        spark.createDataFrame([(u,) for u in urls], "url string").repartition(3)
+    )
+    a = {(r["url"], r["n_bytes"], bytes(r["payload"])) for r in drv.collect()}
+    b = {(r["url"], r["n_bytes"], bytes(r["payload"])) for r in dist.collect()}
+    assert a == b and len(a) == 6
