@@ -447,3 +447,60 @@ def test_blocking_profile_approx_distinct_within_5pct(spark):
         assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), (
             r["source"], r["exact"], r["approx"]
         )
+
+
+def test_prefix_filtered_jaccard_equals_bruteforce(spark):
+    """The prefix/positional-filtered inverted-list join (PPJoin family)
+    must return EXACTLY the naive all-shared-token join's pairs — same
+    ids, same inter/union counts — at every threshold. Brute-force
+    oracle computed in Python over the same tokenization + df-cap
+    semantics (tokens with df>cap or df==1 excluded from intersection,
+    full distinct-token counts in the denominator)."""
+    import random
+    import re
+
+    from mdmpublic_spark.operators import dedup
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(120):
+        base = rng.sample(vocab, rng.randrange(3, 14))
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.5:  # planted near-dup: drop/add one token
+            mut = list(base)
+            if rng.random() < 0.5 and len(mut) > 2:
+                mut.pop(rng.randrange(len(mut)))
+            else:
+                mut.append(rng.choice(vocab))
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def toks(text):
+        return {t for t in re.split("[^a-z0-9]+", text.lower()) if t}
+
+    for threshold, df_cap in ((0.5, 10000), (0.6, 10000), (0.8, 10000), (0.6, 20)):
+        from collections import Counter
+        from fractions import Fraction
+
+        tsets = {i: toks(t) for i, t in docs}
+        dfreq = Counter(t for s in tsets.values() for t in s)
+        joinable = {t for t, c in dfreq.items() if 1 < c <= df_cap}
+        frac = Fraction(str(threshold)).limit_denominator(10_000)
+        expect = set()
+        ids = sorted(tsets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(tsets[a] & tsets[b] & joinable)
+                union = len(tsets[a]) + len(tsets[b]) - inter
+                if inter * frac.denominator >= frac.numerator * union:
+                    expect.add((a, b, inter, union))
+        got = {
+            (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+            for r in dedup.token_jaccard_pairs(
+                df, threshold=threshold, df_cap=df_cap
+            ).collect()
+        }
+        assert got == expect, (threshold, df_cap,
+                               sorted(expect - got)[:5], sorted(got - expect)[:5])
