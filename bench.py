@@ -44,6 +44,10 @@ HEADLINE = [
     "er_dedup_cosine",        # same flagship pipeline + the embedding-cosine
                               # cascade term (partial coverage at sf0.1 by
                               # design — exercises the left-join/coalesce arm)
+    "er_cc_jaccard_clusters", # exact-Jaccard edges (prefix-filtered posting
+                              # join) + the distributed large-star/small-star
+                              # CC loop — was excluded at ~355s pre prefix
+                              # filter; 21.5s after, so it joins the headline
 ]
 
 
