@@ -272,6 +272,124 @@ def charngram_jaccard_pairs(
     return _postings_jaccard(postings, threshold, id_col, df_cap)
 
 
+def cross_jaccard_pairs(
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    df_cap: int = 10000,
+) -> DataFrame:
+    """Cross-SOURCE Jaccard linkage join (R-S, not self): match every
+    document of ``a_docs`` (staging) against ``b_docs`` (master) at
+    token-Jaccard ≥ threshold — the MDM staging→master promotion match
+    (/root/reference MDM lifecycle, SURVEY.md §3.4: new records are
+    matched against the master bucket via the candidate index, then
+    merged/promoted), expressed as the two-relation variant of
+    _postings_jaccard's prefix+positional-filtered inverted-list join.
+
+    Differences from the self-join:
+      * postings carry a side tag; the pair-generating join runs
+        A-prefixes × B-prefixes only (no same-side pairs generated);
+      * the global token order ranks by COMBINED (both-side) document
+        frequency — any total order shared by both docs keeps the
+        prefix bound valid — and a token is joinable only if it occurs
+        on BOTH sides (a one-side token can never witness a cross
+        intersection, so dropping it shrinks prefixes at zero recall
+        cost — the R-S analog of the self-join's df > 1 filter);
+      * no id ordering: ids may overlap between sides (same url in
+        staging and master), so all internal joins key on (side, id)
+        and the output is (id_a = staging id, id_b = master id).
+
+    Jaccard denominators use each doc's FULL distinct-token count (not
+    just joinable tokens), identical to the self-join; tokens above
+    df_cap (combined df) are excluded from candidates AND verify — the
+    same logged recall-bounded skew guard. Output: (id_a, id_b,
+    inter_n, union_n) for cross pairs at Jaccard ≥ threshold, exactly
+    equal to the naive A×B inverted-list join (DuckDB oracle:
+    queries/er_documents.LINK_SOURCES_ORACLE).
+    """
+    _t = Fraction(str(threshold)).limit_denominator(10_000)
+    p, q = _t.numerator, _t.denominator
+    toks = (
+        tokenized(a_docs, id_col).withColumn("side", F.lit(0))
+        .unionByName(tokenized(b_docs, id_col).withColumn("side", F.lit(1)))
+        .select("side", id_col, F.xxhash64("tok").alias("tok"))
+    )
+    sizes = toks.groupBy("side", id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("df_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("df_b"),
+    )
+    joinable = toks.join(
+        F.broadcast(
+            dfreq.where(
+                (F.col("df_a") >= 1)
+                & (F.col("df_b") >= 1)
+                & (F.col("df_a") + F.col("df_b") <= df_cap)
+            ).select("tok", (F.col("df_a") + F.col("df_b")).alias("df"))
+        ),
+        "tok",
+    ).select("side", id_col, "tok", "df")
+
+    w_rank = Window.partitionBy("side", id_col).orderBy("df", "tok")
+    w_all = Window.partitionBy("side", id_col)
+    pre = (
+        joinable.select(
+            "side",
+            id_col,
+            "tok",
+            F.row_number().over(w_rank).alias("pos"),
+            F.count(F.lit(1)).over(w_all).alias("m_tok"),
+        )
+        .join(sizes, ["side", id_col])
+        .withColumn("alpha", F.expr(f"(n_tok * {p}L + {q - 1}L) div {q}L"))
+        .where(F.col("pos") <= F.col("m_tok") - F.col("alpha") + 1)
+        .select("side", id_col, "tok", "pos", "m_tok", "n_tok")
+    )
+    pa = pre.where(F.col("side") == 0).select(
+        F.col(id_col).alias("id_a"), "tok",
+        F.col("pos").alias("pos_a"), F.col("m_tok").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    pb = pre.where(F.col("side") == 1).select(
+        F.col(id_col).alias("id_b"), "tok",
+        F.col("pos").alias("pos_b"), F.col("m_tok").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
+    alpha_ab = F.expr(f"((na + nb) * {p}L + {p + q - 1}L) div {p + q}L")
+    cand = (
+        pa.join(pb, "tok")
+        .where((F.col("nb") * q >= F.col("na") * p) & (F.col("na") * q >= F.col("nb") * p))
+        .where(
+            F.least(F.col("ma") - F.col("pos_a"), F.col("mb") - F.col("pos_b")) + 1
+            >= alpha_ab
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ja = joinable.where(F.col("side") == 0).select(F.col(id_col).alias("id_a"), "tok")
+    jb = joinable.where(F.col("side") == 1).select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ja, "id_a")
+        .join(jb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    sa = sizes.where(F.col("side") == 0).select(
+        F.col(id_col).alias("id_a"), F.col("n_tok").alias("na")
+    )
+    sb = sizes.where(F.col("side") == 1).select(
+        F.col(id_col).alias("id_b"), F.col("n_tok").alias("nb")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        .where(F.col("inter_n") * q >= F.lit(p) * F.col("union_n"))
+        .select("id_a", "id_b", "inter_n", "union_n")
+    )
+
+
 def fingerprint_pairs(
     docs: DataFrame,
     min_shared: int = 2,

@@ -28,9 +28,12 @@ def assign_clusters(pages: DataFrame, assignments: DataFrame) -> DataFrame:
     )
 
 
-def golden_records(clustered: DataFrame) -> DataFrame:
-    """(url, warc_ts, cluster_id, ...) → one is_golden flag per row."""
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("warc_ts"), F.asc("url"))
+def golden_records(clustered: DataFrame, freshness_col: str = "warc_ts") -> DataFrame:
+    """(url, <freshness_col>, cluster_id, ...) → one is_golden flag per
+    row. ``freshness_col`` is any orderable column standing in for
+    record freshness/completeness (warc_ts for pages; n_chars for the
+    documents table, where the fullest record survives)."""
+    w = Window.partitionBy("cluster_id").orderBy(F.desc(freshness_col), F.asc("url"))
     return clustered.withColumn("rn", F.row_number().over(w)).withColumn(
         "is_golden", F.col("rn") == 1
     ).drop("rn")

@@ -259,6 +259,146 @@ CLUSTER_SUMMARY_EXACT_ORACLE = """
 """
 
 
+def golden_records_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-6 survivorship with a hash oracle: golden-record selection
+    (operators/golden.py — the reference's staging→master promotion of
+    the surviving record, SURVEY.md §3.4) over the exact token-Jaccard
+    ≥ 0.95 cluster assignment. The survivor per cluster is the FULLEST
+    record (max n_chars, ties by min doc_id — golden_records'
+    freshness ordering with n_chars standing in for warc_ts on the
+    documents table). Output: one row per cluster — singletons included
+    via the same assign_clusters left-join/coalesce the pipeline uses —
+    with the cluster size and the surviving doc's id and length.
+
+    Scale shape: identical to the pipeline's golden stage — one uniform
+    left join (docs ⨝ assignment on id) and one window over cluster_id;
+    pair-capping bounds duplicate-cluster sizes so the window partition
+    never skews."""
+    from mdmpublic_spark.operators.dedup import token_jaccard_pairs
+    from mdmpublic_spark.operators.golden import assign_clusters, golden_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = token_jaccard_pairs(docs, threshold=0.95)
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 10, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 10, "0").alias("dst"),
+    )
+    assign, _ = connected_components(edges)
+    members = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "n_chars"
+    )
+    clustered = assign_clusters(members, assign)
+    flagged = golden_records(clustered, freshness_col="n_chars")
+    sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        flagged.where(F.col("is_golden"))
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_docs",
+            F.col("url").cast("bigint").alias("golden_doc"),
+            F.col("n_chars").alias("golden_chars"),
+        )
+    )
+
+
+GOLDEN_RECORDS_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+    joinable AS (
+      SELECT d.doc_id, d.tok FROM d JOIN dfreq USING (tok)
+      WHERE dfreq.df > 1 AND dfreq.df <= 10000
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+      FROM joinable a JOIN joinable b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE inter_n * 20 >= 19 * (sa.n + sb.n - inter_n)
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    assigned AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    everyone AS (
+      SELECT d.doc_id, d.n_chars, coalesce(a.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN assigned a USING (doc_id)
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_docs
+      FROM everyone
+    )
+    SELECT cluster_id, n_docs, doc_id AS golden_doc, n_chars AS golden_chars
+    FROM ranked WHERE rn = 1
+"""
+
+
+def link_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source record linkage (dedup.cross_jaccard_pairs): odd
+    doc_ids play the staging side, even doc_ids the master side, and the
+    R-S prefix-filtered inverted-list join emits every cross pair at
+    token-Jaccard ≥ 0.8 — the staging→master candidate-match step of the
+    MDM promotion lifecycle, with NO same-side pairs generated. The
+    DuckDB oracle recomputes the naive A×B inverted-list join."""
+    from mdmpublic_spark.operators.dedup import cross_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staging = docs.where(F.col("doc_id") % 2 == 1)
+    master = docs.where(F.col("doc_id") % 2 == 0)
+    return cross_jaccard_pairs(staging, master, threshold=0.8).select(
+        F.col("id_a").alias("staging_id"),
+        F.col("id_b").alias("master_id"),
+        "inter_n",
+        "union_n",
+    )
+
+
+LINK_SOURCES_ORACLE = """
+    WITH d AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+    inter AS (
+      SELECT a.doc_id AS staging_id, b.doc_id AS master_id, count(*) AS inter_n
+      FROM d a JOIN d b ON a.tok = b.tok
+      JOIN dfreq f ON f.tok = a.tok
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND f.df <= 10000
+      GROUP BY 1, 2
+    )
+    SELECT staging_id, master_id, inter_n,
+           sa.n + sb.n - inter_n AS union_n
+    FROM inter
+    JOIN sz sa ON sa.doc_id = staging_id
+    JOIN sz sb ON sb.doc_id = master_id
+    WHERE inter_n * 5 >= 4 * (sa.n + sb.n - inter_n)
+"""
+
+
 def dedup_cluster_summary(
     spark: SparkSession, sf_dir: str, use_embeddings: bool = False
 ) -> DataFrame:

@@ -12,7 +12,7 @@ oracle pinning its semantics.
 **Window discipline (round-3 fix):** the driver's CORRECTNESS gate
 checks exactly the first 50 entries in registration order. Round 2 had
 73 entries, so 23 operators passed only locally. The inventory is now
-consolidated to 44 entries — single-purpose §2 fill-ins are folded into
+consolidated to 46 entries — single-purpose §2 fill-ins are folded into
 family-tagged union entries (queries/merged.py) whose oracles apply the
 identical projection to each component's existing oracle — so EVERY
 operator, including both ER flagships and the streaming/grouped-map/
@@ -31,15 +31,19 @@ from mdmpublic_spark.queries import coverage, merged, ops_sources, relational, t
 from mdmpublic_spark.queries.er_documents import (
     CC_JACCARD_ORACLE,
     CLUSTER_SUMMARY_EXACT_ORACLE,
+    GOLDEN_RECORDS_ORACLE,
+    LINK_SOURCES_ORACLE,
     cc_jaccard_clusters,
     cluster_summary_exact,
     dedup_cluster_summary,
+    golden_records_exact,
+    link_sources,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # (name, fn, oracle|None) in driver-window order: flagships and the
-# LLM-pipeline families first, relational inventory after — all 44 sit
+# LLM-pipeline families first, relational inventory after — all 46 sit
 # inside the 50-entry CORRECTNESS window.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # --- flagship + ER ------------------------------------------------
@@ -51,6 +55,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("er_dedup_cluster_summary", dedup_cluster_summary, None),
     ("er_cluster_summary_exact", cluster_summary_exact, CLUSTER_SUMMARY_EXACT_ORACLE),
     ("er_cc_jaccard_clusters", cc_jaccard_clusters, CC_JACCARD_ORACLE),
+    # stage-6 survivorship (golden.py) over the exact edge set — the
+    # staging→master promotion of the surviving record, hash-checked
+    ("er_golden_records", golden_records_exact, GOLDEN_RECORDS_ORACLE),
+    # cross-source R-S linkage join (staging side × master side, no
+    # same-side pairs) — the MDM promotion candidate match, hash-checked
+    ("er_link_sources", link_sources, LINK_SOURCES_ORACLE),
     ("g1_block_pair_scores", coverage.g1_block_pair_scores,
      coverage.ORACLES["g1_block_pair_scores"]),
     ("b1_blocking_profile", coverage.b1_blocking_profile,
@@ -142,6 +152,8 @@ def components() -> dict[str, QueryFn]:
     out["er_dedup_cluster_summary"] = dedup_cluster_summary
     out["er_cluster_summary_exact"] = cluster_summary_exact
     out["er_cc_jaccard_clusters"] = cc_jaccard_clusters
+    out["er_golden_records"] = golden_records_exact
+    out["er_link_sources"] = link_sources
     return out
 
 
@@ -153,4 +165,6 @@ def component_oracles() -> dict[str, str]:
         out.update(mod.ORACLES)
     out["er_cluster_summary_exact"] = CLUSTER_SUMMARY_EXACT_ORACLE
     out["er_cc_jaccard_clusters"] = CC_JACCARD_ORACLE
+    out["er_golden_records"] = GOLDEN_RECORDS_ORACLE
+    out["er_link_sources"] = LINK_SOURCES_ORACLE
     return out

@@ -504,3 +504,73 @@ def test_prefix_filtered_jaccard_equals_bruteforce(spark):
         }
         assert got == expect, (threshold, df_cap,
                                sorted(expect - got)[:5], sorted(got - expect)[:5])
+
+
+def test_cross_jaccard_equals_bruteforce(spark):
+    """The R-S (staging x master) prefix-filtered linkage join must
+    return EXACTLY the naive A x B inverted-list join: every cross pair
+    at Jaccard >= t, no same-side pairs, correct inter/union counts.
+    The two sides deliberately share id values (same id space, as when
+    the same url exists in staging and master) to pin the (side, id)
+    keying. Joinable semantics: a token counts toward an intersection
+    iff it occurs on BOTH sides and its combined df <= cap; denominators
+    use full distinct-token counts."""
+    import random
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    from mdmpublic_spark.operators import dedup
+
+    rng = random.Random(101)
+    vocab = [f"w{i}" for i in range(50)]
+
+    def mk(n, seed_docs=None):
+        out = []
+        for i in range(n):
+            if seed_docs and rng.random() < 0.4:
+                # near-dup of a doc from the other side: one-token edit
+                base = list(rng.choice(seed_docs)[1].split())
+                if rng.random() < 0.5 and len(base) > 2:
+                    base.pop(rng.randrange(len(base)))
+                else:
+                    base.append(rng.choice(vocab))
+            else:
+                base = rng.sample(vocab, rng.randrange(3, 12))
+            out.append((i, " ".join(base)))
+        return out
+
+    a_docs = mk(70)                      # staging: ids 0..69
+    b_docs = mk(80, seed_docs=a_docs)    # master: ids 0..79 (overlapping id space)
+    da = spark.createDataFrame(a_docs, ["doc_id", "text"])
+    db = spark.createDataFrame(b_docs, ["doc_id", "text"])
+
+    def toks(text):
+        return {t for t in re.split("[^a-z0-9]+", text.lower()) if t}
+
+    for threshold, df_cap in ((0.5, 10000), (0.8, 10000), (0.6, 12)):
+        ta = {i: toks(t) for i, t in a_docs}
+        tb = {i: toks(t) for i, t in b_docs}
+        df_a = Counter(t for s in ta.values() for t in s)
+        df_b = Counter(t for s in tb.values() for t in s)
+        joinable = {
+            t
+            for t in set(df_a) | set(df_b)
+            if df_a[t] >= 1 and df_b[t] >= 1 and df_a[t] + df_b[t] <= df_cap
+        }
+        frac = Fraction(str(threshold)).limit_denominator(10_000)
+        expect = set()
+        for i, sa in ta.items():
+            for j, sb in tb.items():
+                inter = len(sa & sb & joinable)
+                union = len(sa) + len(sb) - inter
+                if inter * frac.denominator >= frac.numerator * union:
+                    expect.add((i, j, inter, union))
+        got = {
+            (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+            for r in dedup.cross_jaccard_pairs(
+                da, db, threshold=threshold, df_cap=df_cap
+            ).collect()
+        }
+        assert got == expect, (threshold, df_cap,
+                               sorted(expect - got)[:5], sorted(got - expect)[:5])
