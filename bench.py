@@ -48,6 +48,9 @@ HEADLINE = [
                               # join) + the distributed large-star/small-star
                               # CC loop — was excluded at ~355s pre prefix
                               # filter; 21.5s after, so it joins the headline
+    "er_link_sources",        # staging→master cross-source R-S linkage join
+                              # (prefix-filtered, no same-side pairs) — the
+                              # MDM promotion match, regression-tracked
 ]
 
 
