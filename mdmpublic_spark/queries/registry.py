@@ -27,7 +27,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mdmpublic_spark.queries import coverage, merged, ops_sources, relational, training_data
+from mdmpublic_spark.queries import (
+    cleaning,
+    coverage,
+    merged,
+    ops_sources,
+    relational,
+    training_data,
+)
 from mdmpublic_spark.queries.er_documents import (
     CC_JACCARD_ORACLE,
     CLUSTER_SUMMARY_EXACT_ORACLE,
@@ -77,6 +84,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
      training_data.ORACLES["dd_simhash_pairs"]),
     ("dd_embedding_near_dup", training_data.dd_embedding_near_dup,
      training_data.ORACLES["dd_embedding_near_dup"]),
+    # corpus-wide span-level exact dedup (C4 §2.2 shape): int64-keyed
+    # span-count groupBy + survivor reassembly, exact SQL oracle
+    ("dd_span_dedup", cleaning.dd_span_dedup, cleaning.ORACLES["dd_span_dedup"]),
     # --- similarity search ---------------------------------------------
     ("ann_exact_topk", merged.ann_exact_topk, merged.ANN_EXACT_ORACLE),
     # approximate by design → rows-only; pytest recall ≥ 0.7 both arms
@@ -87,6 +97,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
      training_data.ORACLES["ta_fingerprints"]),
     ("ta_group_median", training_data.ta_group_median,
      training_data.ORACLES["ta_group_median"]),
+    # web-corpus cleaning family: PII redaction (injected synthetic
+    # PII), Gopher repetition signals, deterministic training-mix
+    # sampling — all JVM-side, all exact-oracle-checked
+    ("ta_pii_scrub", cleaning.ta_pii_scrub, cleaning.ORACLES["ta_pii_scrub"]),
+    ("ta_repetition_stats", cleaning.ta_repetition_stats,
+     cleaning.ORACLES["ta_repetition_stats"]),
+    ("ta_quota_sample", cleaning.ta_quota_sample,
+     cleaning.ORACLES["ta_quota_sample"]),
     ("sc_pair_scores", merged.sc_pair_scores, merged.SC_PAIR_SCORES_ORACLE),
     # --- multimodal ------------------------------------------------------
     ("mm_pipeline", merged.mm_pipeline, merged.MM_PIPELINE_ORACLE),
@@ -147,7 +165,7 @@ def components() -> dict[str, QueryFn]:
     audits, tests, tools/dump_plans) — superset of queries() minus the
     merged wrappers."""
     out: dict[str, QueryFn] = {}
-    for mod in (relational, training_data, ops_sources, coverage):
+    for mod in (relational, training_data, ops_sources, coverage, cleaning):
         out.update(mod._FNS)
     out["er_dedup_cluster_summary"] = dedup_cluster_summary
     out["er_cluster_summary_exact"] = cluster_summary_exact
@@ -161,7 +179,7 @@ def component_oracles() -> dict[str, str]:
     """Oracles for the pre-merge components (tests/test_oracle_parity
     checks these too, so each family stays individually diagnosable)."""
     out: dict[str, str] = {}
-    for mod in (relational, training_data, ops_sources, coverage):
+    for mod in (relational, training_data, ops_sources, coverage, cleaning):
         out.update(mod.ORACLES)
     out["er_cluster_summary_exact"] = CLUSTER_SUMMARY_EXACT_ORACLE
     out["er_cc_jaccard_clusters"] = CC_JACCARD_ORACLE
