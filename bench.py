@@ -88,6 +88,19 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release_job_state(spark) -> None:
+    """Free per-query session state between timed queries: leftover
+    checkpoint blocks (the CC loop's final generation stays pinned until
+    its DataFrame is dropped — the bench drops it right here, the way a
+    real application releases job state after writing results) and any
+    cached relations. Runs OUTSIDE the timed window; without it, each
+    query's pinned storage leaks into every later query's measurement."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        m.get(k).unpersist(False)
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -97,6 +110,7 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(WARMUP_SF_DIR):
         for name in HEADLINE:
             force(qs[name](spark, WARMUP_SF_DIR))
+        release_job_state(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -106,6 +120,7 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        release_job_state(spark)
 
     print(
         json.dumps(

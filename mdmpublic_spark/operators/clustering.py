@@ -105,6 +105,20 @@ def _union_find_assign(pairs: list[tuple[str, str]]) -> dict[str, str]:
 _EDGE_FIXED_OVERHEAD = 240
 
 
+def _persistent_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def _unpersist_ids(spark, ids: set[int]) -> None:
+    if not ids:
+        return
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        if int(k) in ids:
+            m.get(k).unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
@@ -149,6 +163,32 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Each localCheckpoint pins its partitions in executor STORAGE memory
+    # for the life of the session unless freed. A long CC run checkpoints
+    # every checked round, so without cleanup the loop would hold every
+    # generation simultaneously — executor OOM at scale, and leaked
+    # storage across queries in a long-lived application. We snapshot the
+    # persisted-RDD ids before our first checkpoint and, after each new
+    # generation materializes, free every generation this call created
+    # except the newest (RDD ids are creation-ordered and the driver is
+    # single-threaded here, so max id == current generation). Peak pinned
+    # storage is therefore ≤ 2 generations regardless of round count.
+    # The FINAL generation is the caller's: the returned assignment plan
+    # reads it, so it stays pinned until the caller drops the DataFrame
+    # (or releases job state, as bench.py does between queries). Reliable
+    # checkpoints write files instead — cleaned by
+    # spark.cleaner.referenceTracking.cleanCheckpoints on real clusters —
+    # so the block-level cleanup only runs for the local path.
+    spark_ = edges.sparkSession
+    pre_ids = _persistent_ids(spark_) if not reliable else set()
+
+    def _drop_stale() -> None:
+        if reliable:
+            return
+        mine = _persistent_ids(spark_) - pre_ids
+        if len(mine) > 1:
+            _unpersist_ids(spark_, mine - {max(mine)})
+
     if edge_count is None or edge_count <= small_graph_threshold:
         # eager localCheckpoint: the sizing agg drives the strategy and
         # the checkpointed edges feed whichever path wins without a rescan
@@ -167,6 +207,10 @@ def connected_components(
             out = spark.createDataFrame(
                 list(assign.items()), "url string, cluster_id string"
             )
+            # edges now live in the driver dict; the checkpoint blocks
+            # serve nothing — free them instead of leaking per call
+            if not reliable:
+                _unpersist_ids(spark_, _persistent_ids(spark_) - pre_ids)
             return out, 0
     else:
         # eager=False: the checkpoint materializes inside the checksum
@@ -184,6 +228,9 @@ def connected_components(
         )
         cur = _checksum(e2)
         e = e2
+        # e2's generation is fully materialized (the checksum action
+        # computed every partition), so all older generations are dead
+        _drop_stale()
         if cur == prev:
             break
         prev = cur

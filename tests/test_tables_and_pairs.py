@@ -242,3 +242,44 @@ def test_flagship_with_embedding_cosine_runs(spark):
     # cosine term may move borderline pairs, but every url keeps exactly
     # one cluster assignment
     assert cos.select("url").distinct().count() == cos.count()
+
+
+def test_cc_checkpoint_generations_bounded(spark):
+    """The distributed star loop frees every checkpoint generation it
+    supersedes: after the run, exactly ONE generation this call created
+    (the final edge set the returned plan reads) may remain pinned, no
+    matter how many rounds convergence took — the property that keeps
+    executor storage flat on long chains at scale. The union-find path
+    must leave nothing pinned at all."""
+    import time
+
+    from mdmpublic_spark.operators.clustering import (
+        _persistent_ids,
+        connected_components,
+    )
+
+    # a 120-node chain forces multiple star rounds
+    chain = [f"c{i:04d}" for i in range(120)]
+    df = spark.createDataFrame(list(zip(chain, chain[1:])), "src string, dst string")
+
+    before = _persistent_ids(spark)
+    dist, rounds = connected_components(df, small_graph_threshold=0)
+    dist.count()
+    assert rounds >= 2
+    for _ in range(20):  # async unpersist: give the block manager a beat
+        leaked = _persistent_ids(spark) - before
+        if len(leaked) <= 1:
+            break
+        time.sleep(0.25)
+    assert len(leaked) <= 1, f"star loop left {len(leaked)} generations pinned"
+
+    before = _persistent_ids(spark)
+    fast, r_fast = connected_components(df)
+    fast.count()
+    assert r_fast == 0
+    for _ in range(20):
+        leaked = _persistent_ids(spark) - before
+        if not leaked:
+            break
+        time.sleep(0.25)
+    assert not leaked, f"union-find path left {len(leaked)} RDDs pinned"
