@@ -39,6 +39,8 @@ HEADLINE = [
     "dd_minhash_production",  # production config: LSH_BANDS×LSH_ROWS (21×3) — the
                               # path real users run, regression-tracked per VERDICT r2
     "ta_text_profile",        # r2 name: ta_token_stats (+ language_id, quality)
+    "dd_span_dedup",          # corpus-wide span dedup (C4 family) — tracks the
+                              # int64-keyed count join + reassembly path
     "ann_exact_topk",         # r2 name: ann_brute_force_topk (+ ivf full probe)
     "er_dedup_cluster_summary",
     "er_dedup_cosine",        # same flagship pipeline + the embedding-cosine
