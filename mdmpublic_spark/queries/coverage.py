@@ -203,14 +203,26 @@ def st_windowed_counts(spark, sf_dir):
 def st_alarm_hysteresis(spark, sf_dir):
     """Custom stateful streaming operator (§2.9/§2.10) run for real:
     applyInPandasWithState per-key raise/clear alarm state machine over
-    the event stream (append mode → file sink → read back). Rows-only
-    for the driver: an ordered per-key state machine is genuinely not
-    SQL-expressible; tests/test_streaming.py pins the semantics against
-    a driver-side single-pass oracle and across micro-batch boundaries.
+    the event stream (append mode → file sink → read back).
+
+    Oracle-checked (round 3): the per-ROW state walk is not a window
+    function, but the emitted TRANSITION SET over a fully-drained
+    deterministic stream is exactly SQL-expressible — a raise fires at
+    the ``raise_after``-th row of a maximal breach-run iff the machine
+    was NORMAL when the run started, a clear at the ``clear_after``-th
+    row of a maximal non-breach-run iff ALARMED, and the NORMAL/ALARMED
+    mode sequence is a linear walk over the per-user run list. The
+    DuckDB oracle computes maximal runs via gaps-and-islands and closes
+    the mode walk with a recursive CTE (the same technique as the CC
+    oracle); prototype-verified equal to ``hysteresis_reference`` on the
+    full sf0.01 events table (878 transitions) before wiring.
+    tests/test_streaming.py additionally pins the operator across
+    micro-batch boundaries, which the batch oracle cannot see.
 
     Deterministic despite file-order nondeterminism: the whole landing
     dir drains in ONE micro-batch and the operator orders each key's
-    rows by (ts, event_id) before walking the state machine."""
+    rows by (ts, event_id) before walking the state machine. Output ts
+    is projected to microsecond epoch for engine-neutral hashing."""
     from mdmpublic_spark.streaming.sources import events_stream
     from mdmpublic_spark.streaming.stateful import alarm_hysteresis
 
@@ -223,7 +235,12 @@ def st_alarm_hysteresis(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="mdm-hyst-out-")
     ckpt = tempfile.mkdtemp(prefix="mdm-ckpt-st_alarm_hysteresis-")
     run_available_now(tr, ckpt, out)
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "transition",
+        "value",
+    )
 
 
 def st_session_windows(spark, sf_dir):
@@ -343,6 +360,55 @@ ORACLES: dict[str, str] = {
                 - floor(min(t_us) / 1000000))::BIGINT AS duration_seconds,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sid
+    """,
+    # the hysteresis transition set as SQL: maximal breach/non-breach
+    # runs via gaps-and-islands, then the NORMAL/ALARMED mode walk as a
+    # recursive CTE over each user's run sequence (a raise fires at the
+    # raise_after-th row of a breach-run iff NORMAL at run start; a
+    # clear at the clear_after-th row of a non-breach-run iff ALARMED).
+    # Config mirrors st_alarm_hysteresis: threshold 69.0, 2/2.
+    "st_alarm_hysteresis": """
+        WITH RECURSIVE ordered AS (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   (value > 69.0) AS breach
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, breach, min(rn) AS run_start,
+                   count(*) AS run_len,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY min(rn)) AS run_idx
+            FROM (
+                SELECT *, rn - row_number() OVER (PARTITION BY user_id, breach
+                                                  ORDER BY rn) AS grp
+                FROM ordered
+            ) GROUP BY user_id, breach, grp
+        ),
+        walk AS (
+            SELECT DISTINCT user_id, 0 AS run_idx, 0 AS mode_after,
+                   false AS fired
+            FROM runs
+            UNION ALL
+            SELECT r.user_id, r.run_idx,
+                   CASE WHEN w.mode_after = 0 AND r.breach AND r.run_len >= 2
+                        THEN 1
+                        WHEN w.mode_after = 1 AND NOT r.breach AND r.run_len >= 2
+                        THEN 0
+                        ELSE w.mode_after END,
+                   (w.mode_after = 0 AND r.breach AND r.run_len >= 2)
+                   OR (w.mode_after = 1 AND NOT r.breach AND r.run_len >= 2)
+            FROM walk w
+            JOIN runs r ON r.user_id = w.user_id AND r.run_idx = w.run_idx + 1
+        )
+        SELECT o.user_id, epoch_us(o.ts) AS ts_us,
+               CASE WHEN r.breach THEN 'raise' ELSE 'clear' END AS transition,
+               o.value
+        FROM walk w
+        JOIN runs r USING (user_id, run_idx)
+        JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.run_start + 1
+        WHERE w.fired
     """,
     "g1_block_pair_scores": """
         WITH t AS (

@@ -5,9 +5,9 @@ Spark-first over the driver's parquet tables; `ORACLES` holds the
 DuckDB-equivalent SQL (column names aliased identically on both sides —
 the driver compares value hashes after sorting columns by name).
 Entries without an oracle (non-SQL-expressible: the LSH+cascade
-flagship, approximate ANN, ordered stateful streaming) get the driver's
-rows-only check; each has an exact-configuration sibling or a pytest
-oracle pinning its semantics.
+flagship and approximate ANN) get the driver's rows-only check; each
+has an exact-configuration sibling or a pytest oracle pinning its
+semantics.
 
 **Window discipline (round-3 fix):** the driver's CORRECTNESS gate
 checks exactly the first 50 entries in registration order. Round 2 had
@@ -110,10 +110,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("mm_pipeline", merged.mm_pipeline, merged.MM_PIPELINE_ORACLE),
     # --- streaming -------------------------------------------------------
     ("st_stream_aggs", merged.st_stream_aggs, merged.ST_STREAM_AGGS_ORACLE),
-    # ordered per-key state machine: genuinely not SQL-expressible →
-    # rows-only; tests/test_streaming.py pins semantics vs a single-pass
-    # oracle and across micro-batch boundaries
-    ("st_alarm_hysteresis", coverage.st_alarm_hysteresis, None),
+    # per-key state machine; the transition SET over a fully-drained
+    # deterministic stream is SQL-expressible (runs + recursive-CTE mode
+    # walk) → full hash oracle since round 3; micro-batch-boundary
+    # behavior is pinned by tests/test_streaming.py
+    ("st_alarm_hysteresis", coverage.st_alarm_hysteresis,
+     coverage.ORACLES["st_alarm_hysteresis"]),
     # --- ops sources/sinks ----------------------------------------------
     ("s3_s8_log_sources", merged.s3_s8_log_sources, merged.S3_S8_ORACLE),
     ("p7_retention_delete", ops_sources.p7_retention_delete,
