@@ -25,8 +25,11 @@ from pyspark.sql import DataFrame, functions as F
 
 # tokens are SPACE-split (not the alnum TOKEN_RE of textstats.py):
 # span dedup must reassemble the surviving text byte-identically, so the
-# tokenizer has to be a partition of the original string.
-_SPACE_TOKS = "filter(split(text, ' '), t -> t != '')"
+# tokenizer has to be a partition of the original string.  NULL text is
+# coalesced to '' so size() is 0, never -1 — without it size(null)=-1
+# skips the n==0 branch and sequence(0, ceil(-1/k)-1) emits phantom
+# null spans into the corpus-wide count table, while the DuckDB oracle
+# (same coalesce) drops the doc; both engines must agree on NULL.
 
 SPAN_TOKENS = 10  # tokens per dedup span (C4 dedups ~3-sentence spans)
 
@@ -38,7 +41,9 @@ PHONE_RE = "[0-9]{3}-[0-9]{4}"
 
 
 def _space_tokens():
-    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != ""
+    )
 
 
 def span_dedup(

@@ -105,18 +105,14 @@ def _union_find_assign(pairs: list[tuple[str, str]]) -> dict[str, str]:
 _EDGE_FIXED_OVERHEAD = 240
 
 
-def _persistent_ids(spark) -> set[int]:
-    m = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(k) for k in m.keySet().toArray()}
-
-
-def _unpersist_ids(spark, ids: set[int]) -> None:
-    if not ids:
-        return
-    m = spark.sparkContext._jsc.getPersistentRDDs()
-    for k in m.keySet().toArray():
-        if int(k) in ids:
-            m.get(k).unpersist(False)
+def _ckpt_rdd(df: DataFrame):
+    """The JVM RDD a localCheckpoint pinned, taken from the DataFrame's
+    own LogicalRDD plan node — an exact ownership handle.  (Diffing
+    sparkContext.getPersistentRDDs before/after, the previous scheme,
+    races with any other thread persisting in the same session: their
+    RDDs land in the diff and get unpersisted — breaking a concurrent
+    job's cache, or worse its lineage-truncated localCheckpoint.)"""
+    return df._jdf.queryExecution().analyzed().rdd()
 
 
 def connected_components(
@@ -171,28 +167,34 @@ def connected_components(
     # persisted-RDD ids before our first checkpoint and, after each new
     # generation materializes, free every generation this call created
     # except the newest (RDD ids are creation-ordered and the driver is
-    # single-threaded here, so max id == current generation). Peak pinned
-    # storage is therefore ≤ 2 generations regardless of round count.
+    # single-threaded here). Peak pinned storage is therefore ≤ 2
+    # generations regardless of round count.
     # The FINAL generation is the caller's: the returned assignment plan
     # reads it, so it stays pinned until the caller drops the DataFrame
     # (or releases job state, as bench.py does between queries). Reliable
     # checkpoints write files instead — cleaned by
     # spark.cleaner.referenceTracking.cleanCheckpoints on real clusters —
     # so the block-level cleanup only runs for the local path.
-    spark_ = edges.sparkSession
-    pre_ids = _persistent_ids(spark_) if not reliable else set()
+    # Ownership is exact: we keep a handle to each generation's own
+    # checkpointed RDD (via its LogicalRDD plan node, _ckpt_rdd) and
+    # unpersist only those — never a global persistent-RDD diff, which
+    # would race with concurrent persists by other threads in the session.
+    owned: list = []  # this call's checkpoint generations, oldest first
+
+    def _own(df: DataFrame) -> DataFrame:
+        if not reliable:
+            owned.append(_ckpt_rdd(df))
+        return df
 
     def _drop_stale() -> None:
-        if reliable:
-            return
-        mine = _persistent_ids(spark_) - pre_ids
-        if len(mine) > 1:
-            _unpersist_ids(spark_, mine - {max(mine)})
+        # called only after the newest generation is fully materialized
+        while len(owned) > 1:
+            owned.pop(0).unpersist(False)
 
     if edge_count is None or edge_count <= small_graph_threshold:
         # eager localCheckpoint: the sizing agg drives the strategy and
         # the checkpointed edges feed whichever path wins without a rescan
-        e = e.localCheckpoint(eager=True) if not reliable else e.checkpoint(eager=True)
+        e = _own(e.localCheckpoint(eager=True)) if not reliable else e.checkpoint(eager=True)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.length("u") + F.length("v")).alias("pair_len"),
@@ -209,13 +211,13 @@ def connected_components(
             )
             # edges now live in the driver dict; the checkpoint blocks
             # serve nothing — free them instead of leaking per call
-            if not reliable:
-                _unpersist_ids(spark_, _persistent_ids(spark_) - pre_ids)
+            for r in owned:
+                r.unpersist(False)
             return out, 0
     else:
         # eager=False: the checkpoint materializes inside the checksum
         # action — one Spark job per checked round instead of two.
-        e = e.localCheckpoint(eager=False) if not reliable else e.checkpoint(eager=False)
+        e = _own(e.localCheckpoint(eager=False)) if not reliable else e.checkpoint(eager=False)
     prev = _checksum(e)
     rounds = 0
     for step in range(1, max_iter + 1):
@@ -224,7 +226,9 @@ def connected_components(
             e2 = _small_star(_large_star(e2))
         rounds = step * rounds_per_check
         e2 = (
-            e2.localCheckpoint(eager=False) if not reliable else e2.checkpoint(eager=False)
+            _own(e2.localCheckpoint(eager=False))
+            if not reliable
+            else e2.checkpoint(eager=False)
         )
         cur = _checksum(e2)
         e = e2

@@ -76,7 +76,7 @@ def ta_quota_sample(spark, sf_dir):
     return quota_sample(_docs(spark, sf_dir))
 
 
-_SPLIT = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SPLIT = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
 _INJECT = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR)"
     " || '@mail.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"

@@ -12,7 +12,7 @@ semantics.
 **Window discipline (round-3 fix):** the driver's CORRECTNESS gate
 checks exactly the first 50 entries in registration order. Round 2 had
 73 entries, so 23 operators passed only locally. The inventory is now
-consolidated to 46 entries — single-purpose §2 fill-ins are folded into
+consolidated to exactly 50 entries — single-purpose §2 fill-ins are folded into
 family-tagged union entries (queries/merged.py) whose oracles apply the
 identical projection to each component's existing oracle — so EVERY
 operator, including both ER flagships and the streaming/grouped-map/
@@ -50,8 +50,8 @@ from mdmpublic_spark.queries.er_documents import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # (name, fn, oracle|None) in driver-window order: flagships and the
-# LLM-pipeline families first, relational inventory after — all 46 sit
-# inside the 50-entry CORRECTNESS window.
+# LLM-pipeline families first, relational inventory after — all 50 sit
+# inside the 50-entry CORRECTNESS window (bound enforced below).
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # --- flagship + ER ------------------------------------------------
     ("q1_pricing_summary", relational.q1_pricing_summary,
@@ -152,6 +152,15 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 ]
 
 DRIVER_WINDOW = 50
+
+# The driver's CORRECTNESS gate checks exactly the first DRIVER_WINDOW
+# entries; an entry past the bound would silently escape the gate (the
+# round-2 failure mode), so overflow fails loudly at import time.
+assert len(_ENTRIES) <= DRIVER_WINDOW, (
+    f"registry holds {len(_ENTRIES)} entries > DRIVER_WINDOW={DRIVER_WINDOW}; "
+    "merge entries (queries/merged.py) instead of appending past the window"
+)
+assert len({name for name, _, _ in _ENTRIES}) == len(_ENTRIES), "duplicate entry name"
 
 
 def queries() -> dict[str, QueryFn]:

@@ -281,13 +281,19 @@ def w3_latest_per_group(spark, sf_dir):
 
 
 def w5_tail_n(spark, sf_dir):
-    """W5 tail-N frame (tail -n 200 analog)."""
+    """W5 tail-N frame (tail -n 200 analog, ssh_login_report.sh:98-101).
+
+    Expressed as orderBy-desc + limit, which Spark plans as
+    TakeOrderedAndProject (per-partition top-N, then a merge of N rows
+    on the driver) — identical rows to the row_number()<=200 global
+    window, without moving the whole table into one partition. The
+    (ts, event_id) order is total, so the top-200 set is deterministic.
+    """
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 200)
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
         .select("event_id", "event_type", "value")
+        .limit(200)
     )
 
 

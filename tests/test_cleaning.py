@@ -94,3 +94,18 @@ def test_quota_sample_deterministic_and_quota_bounded(spark):
     assert 0.35 * 200 <= n_en <= 0.65 * 200
     assert n_zh <= 0.25 * 200
     assert all(r["n_tokens"] == 5 for r in out)
+
+
+def test_null_text_agrees_with_oracle_convention(spark):
+    """NULL text must not emit phantom spans (size(null)=-1 used to
+    reach sequence(0,-1)) and must match the DuckDB-oracle convention:
+    span_dedup drops the doc (no spans), quota_sample reports 0 tokens."""
+    rows = [(1, None), (2, "a b c d")]
+    sd = {r["doc_id"]: r for r in span_dedup(_df(spark, rows), span_tokens=2).collect()}
+    assert 1 not in sd  # no phantom null spans, doc dropped like unnest([])
+    assert sd[2]["n_spans"] == 2 and sd[2]["n_dup_spans"] == 0
+    qdf = spark.createDataFrame(
+        [(1, None, "en"), (2, "a b", "en")], "doc_id bigint, text string, lang string"
+    )
+    qs = {r["doc_id"]: r for r in quota_sample(qdf, quotas={"en": 100}).collect()}
+    assert qs[1]["n_tokens"] == 0 and qs[2]["n_tokens"] == 2

@@ -181,3 +181,14 @@ def test_score_features_join_is_shuffled_hash(spark):
     p = plan_of(scored)
     assert "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_tail_n_is_take_ordered_not_global_window(spark, qs):
+    """W5 tail-N must plan as TakeOrderedAndProject (per-partition top-N,
+    driver merge of N rows) — NOT a row_number() over an unpartitioned
+    window, which sorts the entire table in one task at scale. W2 top-K
+    already has this shape; this pins W5 to it too."""
+    for name in ("w5_tail_n", "w2_topk"):
+        p = plan_of(qs[name](spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in p, f"{name}: {p[:300]}"
+        assert "Window" not in p, f"{name} uses a window: {p[:300]}"

@@ -253,10 +253,11 @@ def test_cc_checkpoint_generations_bounded(spark):
     must leave nothing pinned at all."""
     import time
 
-    from mdmpublic_spark.operators.clustering import (
-        _persistent_ids,
-        connected_components,
-    )
+    from mdmpublic_spark.operators.clustering import connected_components
+
+    def _persistent_ids(spark):
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
 
     # a 120-node chain forces multiple star rounds
     chain = [f"c{i:04d}" for i in range(120)]
@@ -283,3 +284,42 @@ def test_cc_checkpoint_generations_bounded(spark):
             break
         time.sleep(0.25)
     assert not leaked, f"union-find path left {len(leaked)} RDDs pinned"
+
+
+def test_cc_cleanup_spares_concurrent_persists(spark):
+    """CC's generation cleanup must unpersist ONLY the RDDs it created —
+    a concurrent thread's cache/localCheckpoint made while the star loop
+    runs has to survive with its blocks intact (the old global
+    persistent-RDD diff would unpersist it, truncated lineage and all)."""
+    import threading
+    import time
+
+    from mdmpublic_spark.operators.clustering import connected_components
+
+    chain = [f"c{i:04d}" for i in range(150)]
+    df = spark.createDataFrame(list(zip(chain, chain[1:])), "src string, dst string")
+
+    holder: dict = {}
+
+    def _other_job():
+        # lands mid-CC-loop with high probability; the assertion below is
+        # correct under exact ownership regardless of interleaving
+        time.sleep(0.5)
+        other = spark.range(1000).selectExpr("id", "id * 2 AS y").localCheckpoint()
+        holder["df"] = other
+        holder["count0"] = other.count()
+
+    t = threading.Thread(target=_other_job)
+    t.start()
+    dist, rounds = connected_components(df, small_graph_threshold=0)
+    dist.count()
+    t.join()
+    assert rounds >= 2
+    other = holder["df"]
+    jrdd = other._jdf.queryExecution().analyzed().rdd()
+    assert jrdd.getStorageLevel().useMemory() or jrdd.getStorageLevel().useDisk(), (
+        "concurrent localCheckpoint was unpersisted by CC cleanup"
+    )
+    # the blocks must still be readable (lineage is truncated, so a lost
+    # block would fail this recount)
+    assert other.count() == holder["count0"] == 1000
