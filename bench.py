@@ -44,8 +44,11 @@ HEADLINE = [
     "ann_exact_topk",         # r2 name: ann_brute_force_topk (+ ivf full probe)
     "er_dedup_cluster_summary",
     "er_dedup_cosine",        # same flagship pipeline + the embedding-cosine
-                              # cascade term (partial coverage at sf0.1 by
-                              # design — exercises the left-join/coalesce arm)
+                              # cascade term over a FULL-coverage embedding
+                              # fixture (every doc has a vector), so the
+                              # benched path is the all-pairs-gated blend;
+                              # the partial-coverage left-join/coalesce arm
+                              # stays pinned by pytest
     "er_cc_jaccard_clusters", # exact-Jaccard edges (prefix-filtered posting
                               # join) + the distributed large-star/small-star
                               # CC loop — was excluded at ~355s pre prefix
@@ -68,13 +71,63 @@ def _dd_minhash_production(spark, sf_dir):
     return minhash_lsh_pairs(docs, threshold=0.5, verify="token")
 
 
+def _full_embeddings_dir(sf_dir: str) -> str:
+    """Full-coverage embedding fixture for the cosine-arm bench.
+
+    The driver's embeddings.parquet covers a subset of documents (sf0.1:
+    2000 of 5000), which benches the left-join/coalesce fallback rather
+    than the all-pairs-gated blend. This builds — once, cached in /tmp —
+    a fixture dir holding the REAL documents table (symlink) plus an
+    embeddings table covering every doc: real vectors kept byte-for-byte,
+    missing ones synthesized deterministically (numpy Generator seeded by
+    doc_id, unit-normalized, same dim/schema). No external data; nothing
+    written under /root/testdata."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = f"/tmp/mdm_fullemb_{tag}"
+    out_emb = os.path.join(d, "embeddings.parquet")
+    link = os.path.join(d, "documents.parquet")
+    if os.path.exists(out_emb) and os.path.exists(link):
+        return d
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    doc_ids = pq.read_table(link, columns=["doc_id"]).column("doc_id").to_pylist()
+    have = set(emb.column("vec_id").to_pylist())
+    missing = sorted(i for i in doc_ids if i not in have)
+    dim = len(emb.column("embedding")[0])
+    rows_vec = []
+    for did in missing:
+        v = np.random.default_rng(did).standard_normal(dim).astype(np.float32)
+        rows_vec.append((v / np.linalg.norm(v)).tolist())
+    synth = pa.table(
+        {
+            "vec_id": pa.array(missing, pa.int64()),
+            "embedding": pa.array(rows_vec, pa.list_(pa.float32())),
+            "label": pa.array([-1] * len(missing), pa.int32()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([emb.select(["vec_id", "embedding", "label"]), synth]),
+        out_emb,
+    )
+    return d
+
+
 def _er_dedup_cosine(spark, sf_dir):
     """The flagship ER pipeline with the optional embedding-cosine
-    cascade term enabled (scoring.score_pairs embeddings/w_cos) — the
-    VERDICT-r2 item: the built arm is now exercised and benchmarked."""
+    cascade term enabled (scoring.score_pairs embeddings/w_cos), run over
+    the full-coverage embedding fixture so every gated pair takes the
+    blend path (VERDICT-r3 item 6)."""
     from mdmpublic_spark.queries.er_documents import dedup_cluster_summary
 
-    return dedup_cluster_summary(spark, sf_dir, use_embeddings=True)
+    return dedup_cluster_summary(
+        spark, _full_embeddings_dir(sf_dir), use_embeddings=True
+    )
 
 
 EXTRA = {
@@ -103,6 +156,118 @@ def release_job_state(spark) -> None:
     spark.catalog.clearCache()
 
 
+def production_edge_recall(spark, sf_dir) -> dict:
+    """Recall gate for the production LSH banding at bench scale
+    (VERDICT-r3 item 2, SURVEY §7.4 item 4: measure recall per pass at
+    real corpus sizes), published per round so a banding-knob regression
+    becomes visible the way a wall regression already is.
+
+    ``production_edge_recall`` compares the production 21×3 banding
+    against the exact edge set of the SAME similarity the sketch
+    estimates — shingle Jaccard ≥ 0.8, computed by the recall-1
+    configuration (64 bands × 1 row, miss odds (1-J)^64 ≤ 1e-44 at
+    J ≥ 0.8). Only the banding differs between the two runs, so the
+    ratio isolates the knob; the 21×3 S-curve predicts ≥ 0.999 here.
+
+    ``lsh_vs_token_truth_recall`` is informational: the same 21×3 edges
+    against the exact TOKEN-Jaccard ≥ 0.95 set er_cc_jaccard_clusters
+    hash-checks. On this fixture it is structurally low (~0.01) — the
+    duplicate family is bag-of-words-identical with shuffled word order,
+    which NO shingle sketch can see (measured shingle-J of those pairs:
+    0.0) — exactly why the pipeline's blocking is multi-pass (domain
+    keys + LSH), never LSH alone. A data property, not a knob gate."""
+    from mdmpublic_spark.operators.dedup import minhash_lsh_pairs, token_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = (
+        minhash_lsh_pairs(docs, threshold=0.8, n_bands=64, n_rows=1, verify="shingle")
+        .select("id_a", "id_b")
+        .localCheckpoint()  # reused by count + semi-join; freed by release_job_state
+    )
+    prod_shingle = minhash_lsh_pairs(docs, threshold=0.8, verify="shingle").select(
+        "id_a", "id_b"
+    )
+    n_truth = truth.count()
+    n_found = truth.join(prod_shingle, ["id_a", "id_b"], "left_semi").count()
+
+    tok_truth = (
+        token_jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b").localCheckpoint()
+    )
+    prod_tok = minhash_lsh_pairs(docs, threshold=0.5, verify="token").select(
+        "id_a", "id_b"
+    )
+    n_tok = tok_truth.count()
+    n_tok_found = tok_truth.join(prod_tok, ["id_a", "id_b"], "left_semi").count()
+    return {
+        "production_edge_recall": round(n_found / n_truth, 4) if n_truth else 1.0,
+        "shingle_truth_edges_t08": n_truth,
+        "production_edges_matched": n_found,
+        "lsh_vs_token_truth_recall": round(n_tok_found / n_tok, 4) if n_tok else 1.0,
+        "token_truth_edges_t095": n_tok,
+    }
+
+
+def delta_batch_timing(spark) -> dict:
+    """Per-round cost of folding one insert-only delta crawl into a
+    completed master (incremental.py + streaming/linkage.py's batch
+    core) — VERDICT-r3 item 5: both paths were equivalence-tested but
+    invisible to the driver bench. Bootstrap (base pipeline) runs
+    UNTIMED; the reported wall is the incremental_update call alone, on
+    a 60k-page corpus with a deterministic 1-in-16 url-hash delta."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_scaling import ensure_corpus
+
+    from mdmpublic_spark.incremental import incremental_update
+    from mdmpublic_spark.pipeline import PipelineConfig, run_pipeline
+
+    from pyspark.sql import functions as F
+
+    n_pages, denom = 60000, 16
+    split = f"/tmp/mdm_bench_delta_{n_pages}_{denom}"
+    meta = os.path.join(split, "meta.json")
+    base_p = os.path.join(split, "base.parquet")
+    delta_p = os.path.join(split, "delta.parquet")
+    if not os.path.exists(meta):
+        corpus = ensure_corpus(n_pages)
+        pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+        in_delta = F.pmod(F.xxhash64("url"), F.lit(denom)) == 0
+        os.makedirs(split, exist_ok=True)
+        pages.where(~in_delta).write.mode("overwrite").parquet(base_p)
+        pages.where(in_delta).write.mode("overwrite").parquet(delta_p)
+        with open(meta, "w") as f:
+            json.dump(
+                {
+                    "n_base": spark.read.parquet(base_p).count(),
+                    "n_delta": spark.read.parquet(delta_p).count(),
+                },
+                f,
+            )
+    with open(meta) as f:
+        m = json.load(f)
+
+    bench_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    )
+    wd = tempfile.mkdtemp(prefix="mdm-bench-inc-", dir=bench_dir)
+    try:
+        run_pipeline(spark, base_p, wd, PipelineConfig())  # untimed bootstrap
+        release_job_state(spark)
+        t0 = time.time()
+        info = incremental_update(spark, delta_p, wd, PipelineConfig())
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return {
+        "delta_batch_sec": round(dt, 3),
+        "delta_pages": m["n_delta"],
+        "delta_base_pages": m["n_base"],
+        "delta_pairs_scored": info.get("delta_pairs"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -124,17 +289,22 @@ def main() -> None:
         total += dt
         release_job_state(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # quality + incremental metrics (untimed extras; skip with
+    # SPARK_GRAFT_BENCH_FAST=1 when iterating locally on walls only)
+    if not os.environ.get("SPARK_GRAFT_BENCH_FAST"):
+        out.update(production_edge_recall(spark, sf_dir))
+        release_job_state(spark)
+        out.update(delta_batch_timing(spark))
+        release_job_state(spark)
+
+    print(json.dumps(out))
     spark.stop()
 
 

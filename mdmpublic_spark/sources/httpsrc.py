@@ -27,10 +27,12 @@ handler chain, so tests are hermetic — this sandbox has no network.
 from __future__ import annotations
 
 import logging
+import time
+import urllib.parse
 import urllib.request
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 log = logging.getLogger(__name__)
 
@@ -38,36 +40,78 @@ ROW_SCHEMA = (
     "url string, status int, content_type string, n_bytes long, payload binary"
 )
 
+# opener contract: callable(url, timeout) -> context manager yielding a
+# response with .status/.headers/.read(). Injectable so retry/cap
+# behavior is testable hermetically (this sandbox has no network).
+Opener = Callable[[str, float], object]
+
+
+def _default_opener(url: str, timeout: float):
+    return urllib.request.urlopen(url, timeout=timeout)  # noqa: S310
+
+
+# sentinel distinguishing a transport failure (retried, breaker-counted)
+# from a deterministic gate skip (neither): both drop the row. A string
+# compared by EQUALITY, not an object() compared by identity: the
+# mapInPandas closure is cloudpickled by value, so an identity sentinel
+# would arrive on executors as a different object and never match.
+TRANSPORT_FAILURE = "__mdm_transport_failure__"
+
 
 def _fetch_one(
     url: str,
     expect_status: int,
     require_header: str | None,
     timeout: float,
-) -> tuple | None:
-    """One probe-gated fetch → row tuple, or None (skip) on any failure:
-    unreachable, wrong status, or missing required header."""
-    try:
-        with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
-            status = getattr(resp, "status", None) or 200  # file:// has no status
-            headers = resp.headers  # email.Message: case-insensitive lookups
-            if status != expect_status:
-                log.warning("http source: %s status %s != %s — skipped", url, status, expect_status)
-                return None
-            if require_header is not None and headers.get(require_header) is None:
-                log.warning("http source: %s missing header %r — skipped", url, require_header)
-                return None
-            payload = resp.read()
-            return (
+    max_retries: int = 0,
+    backoff: float = 0.5,
+    opener: Opener | None = None,
+):
+    """One probe-gated fetch → row tuple on success, ``None`` on a gate
+    skip, ``TRANSPORT_FAILURE`` when the transport gave out.
+
+    Transport errors (unreachable, timeout) retry up to ``max_retries``
+    times with exponential backoff (backoff·2^attempt seconds) — the
+    bounded-retry shape of the reference's bucket-connect retries
+    (DeploySystem/config.xml:93-95: 10 × 10 s). Gate failures — wrong
+    status, missing required header — are DETERMINISTIC responses, not
+    transport flakes, so they skip immediately without retry."""
+    opener = opener or _default_opener
+    for attempt in range(max_retries + 1):
+        try:
+            with opener(url, timeout) as resp:
+                status = getattr(resp, "status", None) or 200  # file:// has no status
+                headers = resp.headers  # email.Message: case-insensitive lookups
+                if status != expect_status:
+                    log.warning(
+                        "http source: %s status %s != %s — skipped", url, status, expect_status
+                    )
+                    return None
+                if require_header is not None and headers.get(require_header) is None:
+                    log.warning(
+                        "http source: %s missing header %r — skipped", url, require_header
+                    )
+                    return None
+                payload = resp.read()
+                return (
+                    url,
+                    int(status),
+                    headers.get("Content-Type"),
+                    len(payload),
+                    payload,
+                )
+        except Exception as exc:  # noqa: BLE001 — skip-with-warning is the contract
+            if attempt < max_retries:
+                time.sleep(backoff * (2**attempt))
+                continue
+            log.warning(
+                "http source: %s unreachable after %d attempt(s) (%s) — skipped",
                 url,
-                int(status),
-                headers.get("Content-Type"),
-                len(payload),
-                payload,
+                attempt + 1,
+                exc,
             )
-    except Exception as exc:  # noqa: BLE001 — skip-with-warning is the contract
-        log.warning("http source: %s unreachable (%s) — skipped", url, exc)
-        return None
+            return TRANSPORT_FAILURE
+    return TRANSPORT_FAILURE
 
 
 def read_http_source(
@@ -86,11 +130,18 @@ def read_http_source(
     rows = []
     for u in urls:
         row = _fetch_one(u, expect_status, require_header, timeout)
-        if row is not None:
+        if isinstance(row, tuple):
             rows.append(row)
         elif on_error == "fail":
             raise OSError(f"http source: fetch/header check failed for {u}")
     return spark.createDataFrame(rows, ROW_SCHEMA)
+
+
+def _host_of(url: str) -> str:
+    try:
+        return urllib.parse.urlsplit(url).netloc or ""
+    except ValueError:
+        return ""
 
 
 def fetch_distributed(
@@ -99,22 +150,79 @@ def fetch_distributed(
     expect_status: int = 200,
     require_header: str | None = None,
     timeout: float = 10.0,
+    max_retries: int = 2,
+    backoff: float = 0.5,
+    partition_by_host: bool = True,
+    host_partitions: int | None = None,
+    host_failure_cap: int = 5,
+    opener: Opener | None = None,
 ) -> DataFrame:
     """Executor-side S4 for web-scale url tables: ``mapInPandas`` fetch —
     each task fetches its partition's urls and emits the same row
     contract; failed/ungated urls are dropped (the skip semantics), so
     the output row count ≤ input. Payload bytes stay on the executors
-    (Arrow batches), never on the driver. Repartition the url table to
-    cluster width upstream for fetch parallelism."""
+    (Arrow batches), never on the driver.
+
+    Real-crawl hardening (all per-task state, no driver coordination):
+
+    * **bounded retry with backoff** — transport errors retry
+      ``max_retries`` times at backoff·2^attempt seconds (gate failures
+      never retry; see ``_fetch_one``).
+    * **per-host concurrency cap** — with ``partition_by_host`` (the
+      default) the url table hash-partitions on the url's host, so ALL
+      of a host's urls run in ONE task: at most one in-flight request
+      per host cluster-wide, regardless of executor count — a crawl
+      cannot hammer a single origin from a thousand tasks. Set
+      ``host_partitions`` to size the fetch stage (defaults to the
+      session's shuffle partitioning).
+    * **per-host circuit breaker** — after ``host_failure_cap``
+      CONSECUTIVE transport failures for one host, that host's remaining
+      urls in the task are skipped with one logged line (with host
+      partitioning that is the host's whole url set): a dead host costs
+      O(cap × retries) connection attempts, not O(urls × retries). Any
+      success resets the host's counter.
+    """
     import pandas as pd
 
+    if partition_by_host:
+        host = F.coalesce(F.expr(f"parse_url({url_col}, 'HOST')"), F.lit(""))
+        urls_df = (
+            urls_df.repartition(host_partitions, host)
+            if host_partitions
+            else urls_df.repartition(host)
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        consec_failures: dict[str, int] = {}
+        tripped: set[str] = set()
         for pdf in batches:
             out = []
             for u in pdf[url_col]:
-                row = _fetch_one(u, expect_status, require_header, timeout)
-                if row is not None:
+                h = _host_of(u)
+                if h in tripped:
+                    continue
+                row = _fetch_one(
+                    u, expect_status, require_header, timeout,
+                    max_retries=max_retries, backoff=backoff, opener=opener,
+                )
+                if isinstance(row, tuple):
                     out.append(row)
+                    consec_failures[h] = 0
+                elif row == TRANSPORT_FAILURE:
+                    n = consec_failures.get(h, 0) + 1
+                    consec_failures[h] = n
+                    if n >= host_failure_cap:
+                        tripped.add(h)
+                        log.warning(
+                            "http source: host %r tripped after %d consecutive "
+                            "transport failures — skipping its remaining urls "
+                            "in this task",
+                            h,
+                            n,
+                        )
+                else:
+                    # gate skip: the transport answered — host is alive
+                    consec_failures[h] = 0
             yield pd.DataFrame(
                 out, columns=["url", "status", "content_type", "n_bytes", "payload"]
             )

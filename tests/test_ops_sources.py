@@ -190,3 +190,127 @@ def test_http_source_distributed_matches_driver(spark, tmp_path):
     a = {(r["url"], r["n_bytes"], bytes(r["payload"])) for r in drv.collect()}
     b = {(r["url"], r["n_bytes"], bytes(r["payload"])) for r in dist.collect()}
     assert a == b and len(a) == 6
+
+
+def test_fetch_distributed_retries_transport_failures(spark, tmp_path):
+    """Bounded retry with backoff: a url whose transport fails twice then
+    succeeds must land as a row at max_retries=2 and be dropped at
+    max_retries=1. Hermetic: the injectable opener fakes the transport
+    with a filesystem attempt counter (local-mode executors share /tmp)."""
+    from mdmpublic_spark.sources.httpsrc import fetch_distributed
+
+    att = tmp_path / "attempts"
+    att.mkdir()
+    att_dir = str(att)
+
+    def flaky(url, timeout):
+        import os
+
+        key = url.rsplit("/", 1)[-1]
+        f = os.path.join(att_dir, key)
+        n = int(open(f).read()) if os.path.exists(f) else 0
+        with open(f, "w") as fh:
+            fh.write(str(n + 1))
+        if n < 2:
+            raise OSError("flaky transport")
+
+        class R:
+            status = 200
+
+            def __init__(self):
+                import email.message
+
+                m = email.message.Message()
+                m["Content-Type"] = "text/plain"
+                self.headers = m
+
+            def read(self):
+                return b"ok"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return R()
+
+    urls = spark.createDataFrame([("http://h/u1",), ("http://h/u2",)], "url string")
+    out = fetch_distributed(urls, max_retries=2, backoff=0.01, opener=flaky).collect()
+    assert {r["url"] for r in out} == {"http://h/u1", "http://h/u2"}
+    assert all(bytes(r["payload"]) == b"ok" and r["status"] == 200 for r in out)
+
+    for f in att.iterdir():
+        f.unlink()
+    out2 = fetch_distributed(urls, max_retries=1, backoff=0.01, opener=flaky).collect()
+    assert out2 == []  # 2 attempts < 3 needed — dropped after bounded retry
+
+
+def test_fetch_distributed_per_host_breaker_and_cap(spark, tmp_path):
+    """A dead host must cost O(host_failure_cap) connection attempts, not
+    O(urls × retries): with hash-partition-by-host all 20 of the dead
+    host's urls run in one task, the breaker trips after 3 consecutive
+    transport failures, and the healthy host is untouched."""
+    from mdmpublic_spark.sources.httpsrc import fetch_distributed
+
+    att = tmp_path / "att2"
+    att.mkdir()
+    att_dir = str(att)
+
+    def opener(url, timeout):
+        import os
+        import urllib.parse
+
+        host = urllib.parse.urlsplit(url).netloc
+        key = url.replace("/", "_").replace(":", "_")
+        open(os.path.join(att_dir, key), "w").close()
+        if host == "dead.example.org":
+            raise OSError("connection refused")
+
+        class R:
+            status = 200
+
+            def __init__(self):
+                import email.message
+
+                m = email.message.Message()
+                m["Content-Type"] = "text/plain"
+                self.headers = m
+
+            def read(self):
+                return b"live"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return R()
+
+    rows = [(f"http://dead.example.org/p{i}",) for i in range(20)] + [
+        (f"http://live.example.org/q{i}",) for i in range(5)
+    ]
+    urls = spark.createDataFrame(rows, "url string")
+    out = fetch_distributed(
+        urls, max_retries=0, host_failure_cap=3, opener=opener
+    ).collect()
+    assert {r["url"] for r in out} == {f"http://live.example.org/q{i}" for i in range(5)}
+    dead_attempts = [f for f in att.iterdir() if "dead.example.org" in f.name]
+    assert len(dead_attempts) == 3, (
+        f"breaker should stop after 3 attempts, saw {len(dead_attempts)}"
+    )
+
+
+def test_soak_drift_detector():
+    """The soak check trips on monotone rising walls (a compounding leak)
+    and stays quiet on non-monotone shared-VM noise of the same size."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_soak import drifting
+
+    assert drifting([1.0, 1.2, 1.5, 2.0], tol=0.30)        # compounding leak
+    assert not drifting([1.0, 1.6, 1.1, 1.4], tol=0.30)    # noise, not monotone
+    assert not drifting([1.0, 1.05, 1.1, 1.2], tol=0.30)   # monotone but small
+    assert not drifting([2.0, 1.5, 1.2, 1.0], tol=0.30)    # warming down
