@@ -179,13 +179,45 @@ def run_once(
         "--warmup-pages", warmup_pages or pages,
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=timeout)
-    last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-    if not last:
-        raise RuntimeError(f"pipeline produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
-    info = json.loads(last[-1])
-    shutil.rmtree(work, ignore_errors=True)
-    return info
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=timeout)
+        last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not last:
+            raise RuntimeError(
+                f"pipeline produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+            )
+        return json.loads(last[-1])
+    finally:
+        # also reached when the leg dies (OOM-killed JVM, timeout): the
+        # work tables must not keep occupying the RAM-backed tmpfs
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sweep_orphaned_scratch() -> int:
+    """Remove spark.local.dir leftovers from dead JVMs.
+
+    A cleanly exiting JVM removes its blockmgr-*/spark-* scratch via
+    shutdown hook; an OOM-KILLED one cannot, and on the RAM-backed tmpfs
+    those orphans ARE occupied memory — the 7.68M-page local[8] leg was
+    OOM-killed at 86 GB of orphanable scratch + a 16 GB pre-touched heap.
+    Safe between this tool's serial legs (no other Spark app should share
+    the scratch dir while a batch runs). Returns bytes freed."""
+    base = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or "/dev/shm/mdm-spark-local"
+    freed = 0
+    if not os.path.isdir(base):
+        return 0
+    for name in os.listdir(base):
+        p = os.path.join(base, name)
+        try:
+            freed += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+        except OSError:
+            pass
+        shutil.rmtree(p, ignore_errors=True)
+    return freed
 
 
 def main() -> None:
@@ -243,14 +275,25 @@ def main() -> None:
     for rep in range(args.repeats):
         for cores in (args.small, args.big):
             t0 = read_cpu_ticks()
-            info = run_once(
-                pages,
-                f"local[{cores}]",
-                pkg,
-                warmup_pages=warmup,
-                pin_cpus=cores if args.pin else None,
-                timeout=args.timeout,
-            )
+            try:
+                info = run_once(
+                    pages,
+                    f"local[{cores}]",
+                    pkg,
+                    warmup_pages=warmup,
+                    pin_cpus=cores if args.pin else None,
+                    timeout=args.timeout,
+                )
+            except Exception as exc:  # noqa: BLE001 — a dead leg must not
+                # kill the batch: the other leg's walls are still evidence
+                freed = sweep_orphaned_scratch()
+                print(
+                    f"# local[{cores}] rep {rep}: FAILED ({type(exc).__name__}: "
+                    f"{str(exc)[:300]}); swept {freed >> 20} MB of orphaned "
+                    f"scratch; continuing",
+                    file=sys.stderr,
+                )
+                continue
             st = steal_share(t0, read_cpu_ticks())
             a = acc[cores]
             a["walls"].append(info["wall_seconds"])
@@ -262,6 +305,14 @@ def main() -> None:
                 f"(steal {st:.1%})",
                 file=sys.stderr,
             )
+    failed = [c for c in (args.small, args.big) if acc[c]["best"] is None]
+    if failed:
+        print(
+            f"# batch incomplete: no successful rep at local{failed} — "
+            "walls above are still published; no efficiency computed",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     results = {}
     for cores in (args.small, args.big):
         best = acc[cores]["best"]
