@@ -314,3 +314,72 @@ def test_soak_drift_detector():
     assert not drifting([1.0, 1.6, 1.1, 1.4], tol=0.30)    # noise, not monotone
     assert not drifting([1.0, 1.05, 1.1, 1.2], tol=0.30)   # monotone but small
     assert not drifting([2.0, 1.5, 1.2, 1.0], tol=0.30)    # warming down
+
+
+def test_full_embeddings_fixture_deterministic(tmp_path, monkeypatch):
+    """The bench's full-coverage embedding fixture must keep the real
+    vectors byte-for-byte, synthesize unit vectors for every missing doc
+    deterministically (same bytes on rebuild), and never write under the
+    source dir."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    src = tmp_path / "sfx"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(src / "documents.parquet"),
+    )
+    real = np.arange(6, dtype=np.float32).reshape(2, 3)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 3], pa.int64()),
+                "embedding": pa.array(real.tolist(), pa.list_(pa.float32())),
+                "label": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        str(src / "embeddings.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(f"/tmp/mdm_fullemb_sfx", ignore_errors=True)
+    d1 = bench._full_embeddings_dir(str(src))
+    t1 = pq.read_table(f"{d1}/embeddings.parquet")
+    by_id = {r["vec_id"]: r for r in t1.to_pylist()}
+    assert set(by_id) == {1, 2, 3, 4}
+    assert by_id[1]["embedding"] == real[0].tolist()  # real rows untouched
+    for miss in (2, 4):
+        v = np.array(by_id[miss]["embedding"], dtype=np.float32)
+        assert len(v) == 3 and abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # rebuild from scratch → identical synthesized bytes (seeded by doc_id)
+    shutil.rmtree(d1)
+    t2 = pq.read_table(f"{bench._full_embeddings_dir(str(src))}/embeddings.parquet")
+    assert t1.equals(t2)
+    assert sorted(p.name for p in src.iterdir()) == [
+        "documents.parquet", "embeddings.parquet",
+    ]
+    shutil.rmtree(d1, ignore_errors=True)
+
+
+def test_sweep_orphaned_scratch(tmp_path, monkeypatch):
+    """The batch tool's orphan sweep must remove SIGKILL leftovers under
+    the scratch root (and report bytes), but never touch the root itself."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_scaling import sweep_orphaned_scratch
+
+    root = tmp_path / "scratch"
+    (root / "blockmgr-deadbeef").mkdir(parents=True)
+    (root / "blockmgr-deadbeef" / "f").write_bytes(b"x" * 4096)
+    (root / "spark-123").mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", str(root))
+    freed = sweep_orphaned_scratch()
+    assert freed == 4096
+    assert root.exists() and list(root.iterdir()) == []
