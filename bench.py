@@ -90,11 +90,30 @@ def _full_embeddings_dir(sf_dir: str) -> str:
     d = f"/tmp/mdm_fullemb_{tag}"
     out_emb = os.path.join(d, "embeddings.parquet")
     link = os.path.join(d, "documents.parquet")
-    if os.path.exists(out_emb) and os.path.exists(link):
-        return d
+    marker = os.path.join(d, "source.json")
+    src_emb = os.path.join(sf_dir, "embeddings.parquet")
+    src_doc = os.path.join(sf_dir, "documents.parquet")
+    # Cache validity: the marker records WHICH sources built the fixture
+    # and their mtimes — mere existence is not enough (a run killed mid
+    # write leaves a truncated file; regenerated testdata or a different
+    # dir with the same basename would silently serve a stale fixture).
+    # The parquet itself is written atomically (temp + os.replace) and
+    # the marker last, so a valid marker implies a complete fixture.
+    stamp = {
+        "sf_dir": os.path.realpath(sf_dir),
+        "emb_mtime": os.stat(src_emb).st_mtime,
+        "doc_mtime": os.stat(src_doc).st_mtime,
+    }
+    try:
+        with open(marker) as f:
+            if json.load(f) == stamp and os.path.exists(out_emb) and os.path.exists(link):
+                return d
+    except (OSError, ValueError):
+        pass
     os.makedirs(d, exist_ok=True)
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    if os.path.islink(link) or os.path.exists(link):
+        os.remove(link)
+    os.symlink(src_doc, link)
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     doc_ids = pq.read_table(link, columns=["doc_id"]).column("doc_id").to_pylist()
     have = set(emb.column("vec_id").to_pylist())
@@ -111,10 +130,15 @@ def _full_embeddings_dir(sf_dir: str) -> str:
             "label": pa.array([-1] * len(missing), pa.int32()),
         }
     )
+    tmp_emb = out_emb + ".tmp"
     pq.write_table(
         pa.concat_tables([emb.select(["vec_id", "embedding", "label"]), synth]),
-        out_emb,
+        tmp_emb,
     )
+    os.replace(tmp_emb, out_emb)
+    with open(marker + ".tmp", "w") as f:
+        json.dump(stamp, f)
+    os.replace(marker + ".tmp", marker)
     return d
 
 

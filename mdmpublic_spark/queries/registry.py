@@ -155,12 +155,15 @@ DRIVER_WINDOW = 50
 
 # The driver's CORRECTNESS gate checks exactly the first DRIVER_WINDOW
 # entries; an entry past the bound would silently escape the gate (the
-# round-2 failure mode), so overflow fails loudly at import time.
-assert len(_ENTRIES) <= DRIVER_WINDOW, (
-    f"registry holds {len(_ENTRIES)} entries > DRIVER_WINDOW={DRIVER_WINDOW}; "
-    "merge entries (queries/merged.py) instead of appending past the window"
-)
-assert len({name for name, _, _ in _ENTRIES}) == len(_ENTRIES), "duplicate entry name"
+# round-2 failure mode), so overflow fails loudly at import time. An
+# explicit raise, not assert: the gate must survive `python -O`.
+if len(_ENTRIES) > DRIVER_WINDOW:
+    raise RuntimeError(
+        f"registry holds {len(_ENTRIES)} entries > DRIVER_WINDOW={DRIVER_WINDOW}; "
+        "merge entries (queries/merged.py) instead of appending past the window"
+    )
+if len({name for name, _, _ in _ENTRIES}) != len(_ENTRIES):
+    raise RuntimeError("duplicate registry entry name")
 
 
 def queries() -> dict[str, QueryFn]:

@@ -138,8 +138,15 @@ def read_http_source(
 
 
 def _host_of(url: str) -> str:
+    """Lower-cased HOSTNAME (no port, no userinfo) — the breaker key.
+
+    Must agree with the partitioning key in ``fetch_distributed`` (Spark
+    ``parse_url(url, 'HOST')`` lower-cased): if the two keyed on
+    different granularities (e.g. netloc keeps ``host:8080`` while
+    parse_url strips the port), two ports of one host would share a task
+    yet count breaker failures separately."""
     try:
-        return urllib.parse.urlsplit(url).netloc or ""
+        return (urllib.parse.urlsplit(url).hostname or "").lower()
     except ValueError:
         return ""
 
@@ -185,7 +192,11 @@ def fetch_distributed(
     import pandas as pd
 
     if partition_by_host:
-        host = F.coalesce(F.expr(f"parse_url({url_col}, 'HOST')"), F.lit(""))
+        # Column-based parse_url (no string interpolation — url_col may
+        # need quoting), lower-cased to match _host_of's breaker key.
+        host = F.lower(
+            F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))
+        )
         urls_df = (
             urls_df.repartition(host_partitions, host)
             if host_partitions

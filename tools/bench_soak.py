@@ -129,7 +129,10 @@ def main() -> None:
         # accumulating pinned state, the precursor the drift rule exists
         # to catch. The drift rule itself is unit-tested on synthetic
         # walls (tests/test_ops_sources.py::test_soak_drift_detector).
-        accumulating = len(pinned) >= 2 and pinned[-1] > pinned[0]
+        # max-vs-first, not last-vs-first: the monotone climb across reps
+        # is the evidence; the FINAL value races ContextCleaner GC (a
+        # reclaim on the last rep must not flip the self-test).
+        accumulating = len(pinned) >= 2 and max(pinned) > pinned[0]
         sys.exit(0 if (any_drift or accumulating) else 1)
     sys.exit(1 if any_drift else 0)
 
