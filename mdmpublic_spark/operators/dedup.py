@@ -35,6 +35,7 @@ from mdmpublic_spark.functions.hashing import (
     LSH_ROWS,
     band_keys_expr,
     minhash_sig,
+    minhash_sig_hashed,
     simhash,
 )
 from mdmpublic_spark.functions.text import shingles_from_tokens, tokens_expr
@@ -437,43 +438,48 @@ def shingled(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).select(id_col, F.explode(shingles_from_tokens(F.col("toks"))).alias("tok"))
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     docs: DataFrame,
-    threshold: float = 0.5,
     id_col: str = "doc_id",
     n_bands: int = LSH_BANDS,
     n_rows: int = LSH_ROWS,
-    verify: str = "token",
+    sketch: str = "shingle",
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by an exact Jaccard join.
+    """CANDIDATE pairs of the MinHash-LSH pass — band-bucket self-join
+    only, no exact verify: distinct (id_a, id_b) with id_a < id_b for
+    every pair sharing ≥1 band key. The ids-only shape is what recall
+    measurement and downstream blocking need (a pair at Jaccard ≥ any
+    verify threshold always survives verification, so truth∩candidates
+    IS truth∩emitted — bench.py's recall gate semi-joins against this
+    instead of paying the posting-list verify join).
 
-    shingle → 64-perm signature → band keys (JVM-side banding over the
-    signature array) → bucket self-join → verify candidates with one
-    posting-list join restricted to the candidate set (semi-join
-    pushdown).
-
-    ``verify`` picks the exact similarity that gates emission:
-      * ``"token"``   — token-set Jaccard (default; matches the pipeline's
-        cheap-first cascade semantics).
-      * ``"shingle"`` — 3-word-shingle Jaccard, i.e. the same set the
-        MinHash signature sketches. With ``n_rows=1, n_bands=64`` the
-        miss probability for a pair at Jaccard ≥ t is (1-t)^64 (< 10^-19
-        at t ≥ 0.5), so the output equals the exact shingle-Jaccard join
-        for practical purposes — this is the oracle-checkable recall-1
-        configuration (queries/training_data.py uses it).
-    """
-    # shingle arrays computed natively per doc (no shuffle): tokens must be
-    # materialized as a plain column before the shingle transform (see
-    # functions.text.shingles_from_tokens)
-    sigs = (
-        docs.select(id_col, tokens_expr(F.col("text")).alias("toks"))
-        .select(id_col, shingles_from_tokens(F.col("toks")).alias("sh"))
-        .select(id_col, minhash_sig(F.col("sh")).alias("sig"))
-    )
+    ``sketch``: ``"shingle"`` (3-word shingles, order-sensitive) or
+    ``"token"`` (distinct-token set, order-insensitive — catches
+    word-reordered duplicates; tokens are xxhash64'd JVM-side so the
+    signature UDF's Arrow crossing carries only int64 arrays)."""
+    if sketch == "token":
+        sigs = docs.select(
+            id_col,
+            minhash_sig_hashed(
+                F.transform(
+                    F.array_distinct(tokens_expr(F.col("text"))),
+                    lambda t: F.xxhash64(t),
+                )
+            ).alias("sig"),
+        )
+    else:
+        # shingle arrays computed natively per doc (no shuffle): tokens
+        # must be materialized as a plain column before the shingle
+        # transform (see functions.text.shingles_from_tokens)
+        sigs = (
+            docs.select(id_col, tokens_expr(F.col("text")).alias("toks"))
+            .select(id_col, shingles_from_tokens(F.col("toks")).alias("sh"))
+            .select(id_col, minhash_sig(F.col("sh")).alias("sig"))
+        )
     banded = sigs.select(
         id_col, F.explode(band_keys_expr(F.col("sig"), n_bands, n_rows)).alias("band")
     )
-    cand = (
+    return (
         banded.alias("x")
         .join(banded.alias("y"), "band")
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
@@ -482,6 +488,53 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    n_bands: int = LSH_BANDS,
+    n_rows: int = LSH_ROWS,
+    verify: str = "token",
+    sketch: str = "shingle",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by an exact Jaccard join.
+
+    sketch set → 64-perm signature → band keys (JVM-side banding over the
+    signature array) → bucket self-join → verify candidates with one
+    posting-list join restricted to the candidate set (semi-join
+    pushdown).
+
+    ``sketch`` picks the set the MinHash signature estimates — i.e. what
+    the CANDIDATE pass can see:
+      * ``"shingle"`` — 3-word shingles (default): word-ORDER-sensitive,
+        the classic web near-dup sketch. Structurally blind to
+        bag-of-words-identical documents with reordered words (their
+        shingle Jaccard is ~0 even though token Jaccard is 1) — a gap
+        the round-4 recall gate measured at 0.11% recall of the exact
+        token-Jaccard ≥ 0.95 edge set on the shuffled-word-order
+        duplicate family.
+      * ``"token"``   — the distinct-token SET: order-INSENSITIVE, so
+        reordered duplicates band-match. Tokens are xxhash64'd JVM-side
+        and the signature runs over int64 arrays (the hot-path
+        minhash_sig_hashed variant — no per-token string crossing).
+    Run both sketches and union the pair sets for an order-robust
+    near-dup pass; each is one narrow map + one bucket join, so the
+    second pass adds linear work, never quadratic.
+
+    ``verify`` picks the exact similarity that gates emission:
+      * ``"token"``   — token-set Jaccard (default; matches the pipeline's
+        cheap-first cascade semantics).
+      * ``"shingle"`` — 3-word-shingle Jaccard, i.e. the set the default
+        sketch estimates. With ``n_rows=1, n_bands=64`` and
+        ``verify == sketch`` the miss probability for a pair at Jaccard
+        ≥ t is (1-t)^64 (< 10^-19 at t ≥ 0.5), so the output equals the
+        exact Jaccard join over the sketched set for practical purposes —
+        this is the oracle-checkable recall-1 configuration
+        (queries/training_data.py uses it for BOTH sketches).
+    """
+    cand = minhash_lsh_candidates(docs, id_col, n_bands, n_rows, sketch)
     # exact verify on candidates only; hash the verify key to int64 for
     # the same shuffle-byte reason as _postings_jaccard (shingles are
     # ~3 words of text each — the worst offenders as raw string keys)

@@ -377,6 +377,33 @@ DD_JACCARD_ORACLE = _usql(
 )
 
 
+def dd_minhash_pairs(spark, sf_dir):
+    """Both MinHash-LSH sketches at their recall-1 (64 bands × 1 row)
+    configurations, so each arm's output equals an exact Jaccard join
+    and the union hash-checks against DuckDB:
+      * dd_minhash_shingle — 3-word-shingle sketch, shingle verify ≥ 0.5
+        (the classic order-SENSITIVE web near-dup pass);
+      * dd_minhash_token   — distinct-token-set sketch, token verify
+        ≥ 0.5 (the order-INSENSITIVE arm that catches word-reordered
+        duplicates the shingle sketch is structurally blind to — the
+        round-4 measured 0.11%-recall gap, closed by running both
+        passes; bench.py gates the combined production-banding recall)."""
+    return _u(
+        canon(training_data.dd_minhash_pairs(spark, sf_dir), "dd_minhash_shingle",
+              v1="id_a", v2="id_b", v3="inter_n", v4="union_n"),
+        canon(training_data.dd_minhash_token_pairs(spark, sf_dir), "dd_minhash_token",
+              v1="id_a", v2="id_b", v3="inter_n", v4="union_n"),
+    )
+
+
+DD_MINHASH_ORACLE = _usql(
+    canon_sql(training_data.ORACLES["dd_minhash_pairs"], "dd_minhash_shingle",
+              v1="id_a", v2="id_b", v3="inter_n", v4="union_n"),
+    canon_sql(training_data.ORACLES["dd_minhash_token_pairs"], "dd_minhash_token",
+              v1="id_a", v2="id_b", v3="inter_n", v4="union_n"),
+)
+
+
 # --------------------------------------------------------------------- ANN
 
 

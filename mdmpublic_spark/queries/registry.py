@@ -78,8 +78,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dd_jaccard_pairs", merged.dd_jaccard_pairs, merged.DD_JACCARD_ORACLE),
     ("dd_fingerprint_pairs", training_data.dd_fingerprint_pairs,
      training_data.ORACLES["dd_fingerprint_pairs"]),
-    ("dd_minhash_pairs", training_data.dd_minhash_pairs,
-     training_data.ORACLES["dd_minhash_pairs"]),
+    # merged r5: shingle-sketch + token-sketch arms, each at its recall-1
+    # config, so the union hash-checks exactly (the token arm is the
+    # order-insensitive pass closing the round-4 word-reorder gap)
+    ("dd_minhash_pairs", merged.dd_minhash_pairs, merged.DD_MINHASH_ORACLE),
     ("dd_simhash_pairs", training_data.dd_simhash_pairs,
      training_data.ORACLES["dd_simhash_pairs"]),
     ("dd_embedding_near_dup", training_data.dd_embedding_near_dup,

@@ -64,6 +64,25 @@ def dd_minhash_pairs(spark, sf_dir):
     )
 
 
+def dd_minhash_token_pairs(spark, sf_dir):
+    # recall-1 configuration of the TOKEN-set sketch (order-insensitive
+    # arm): 64 bands × 1 row over the distinct-token MinHash, so the
+    # output equals the exact token-Jaccard ≥ 0.5 join — miss odds
+    # (1-J)^64 < 6e-20 at J ≥ 0.5 — and the DuckDB all-pairs token
+    # oracle below checks it exactly. This is the arm that catches
+    # word-REORDERED near-dups (shingle Jaccard ~0, token Jaccard 1),
+    # the data-space gap the round-4 recall gate measured at 0.11%
+    # shingle-LSH recall of the token-truth edge set.
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        threshold=0.5,
+        n_bands=64,
+        n_rows=1,
+        sketch="token",
+        verify="token",
+    )
+
+
 def dd_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -317,6 +336,30 @@ ORACLES: dict[str, str] = {
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter_n, sa.n + sb.n - inter_n AS union_n
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter_n * 100 >= 50 * (sa.n + sb.n - inter_n)
+    """,
+    # exact token-Jaccard pairs ≥ 0.5 — the Spark side's 64×1-band
+    # TOKEN-set MinHash plus exact token verify has miss probability
+    # < 6e-20 per qualifying pair, so the sets are equal (see
+    # dd_minhash_token_pairs above). Unlike dd_token_jaccard_pairs there
+    # is NO df cap/filter here: the minhash verify join recomputes the
+    # intersection over the FULL distinct-token posting lists (a df=1
+    # token can never witness an intersection, so the plain posting join
+    # below is already the full-set answer).
+    "dd_minhash_token_pairs": f"""
+        WITH d AS (
+          SELECT DISTINCT doc_id, unnest({_TOK}) AS tok FROM documents
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+          FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT id_a, id_b, inter_n, sa.n + sb.n - inter_n AS union_n
@@ -597,6 +640,7 @@ _FNS = {
     "dd_charngram_pairs": dd_charngram_pairs,
     "dd_fingerprint_pairs": dd_fingerprint_pairs,
     "dd_minhash_pairs": dd_minhash_pairs,
+    "dd_minhash_token_pairs": dd_minhash_token_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_embedding_near_dup": dd_embedding_near_dup,
     "ann_brute_force_topk": ann_brute_force_topk,
