@@ -292,13 +292,18 @@ def production_edge_recall(spark, sf_dir) -> dict:
     }
 
 
-def delta_batch_timing(spark) -> dict:
+def delta_batch_timing(spark, n_pages: int = 60000) -> dict:
     """Per-round cost of folding one insert-only delta crawl into a
     completed master (incremental.py + streaming/linkage.py's batch
     core) — VERDICT-r3 item 5: both paths were equivalence-tested but
     invisible to the driver bench. Bootstrap (base pipeline) runs
     UNTIMED; the reported wall is the incremental_update call alone, on
-    a 60k-page corpus with a deterministic 1-in-16 url-hash delta."""
+    an ``n_pages`` corpus with a deterministic 1-in-16 url-hash delta.
+
+    The driver bench runs the 60k point; ``python bench.py --delta-scale``
+    runs 60k AND 960k so the incremental path's value claim — delta cost
+    tracks DELTA size, not base size — is measured, not asserted
+    (VERDICT-r4 item 5; results recorded in BENCH.md)."""
     import shutil
     import tempfile
 
@@ -310,7 +315,7 @@ def delta_batch_timing(spark) -> dict:
 
     from pyspark.sql import functions as F
 
-    n_pages, denom = 60000, 16
+    denom = 16
     split = f"/tmp/mdm_bench_delta_{n_pages}_{denom}"
     meta = os.path.join(split, "meta.json")
     base_p = os.path.join(split, "base.parquet")
@@ -353,7 +358,27 @@ def delta_batch_timing(spark) -> dict:
     }
 
 
+def delta_scale_study() -> None:
+    """Measure delta_batch_sec at two base sizes (60k and 960k pages,
+    same 1-in-16 url-hash delta rule) and print one JSON line per point —
+    the incremental path's claim is that delta cost tracks delta size,
+    not base size, so the 16× base-size ratio should move the wall far
+    less than 16×. Run manually (`python bench.py --delta-scale`); the
+    960k bootstrap pipeline is minutes of untimed setup, too heavy for
+    the per-round driver bench."""
+    spark = get_spark(app_name="mdm-delta-scale")
+    for n_pages in (60000, 960000):
+        out = {"base_pages_nominal": n_pages}
+        out.update(delta_batch_timing(spark, n_pages))
+        release_job_state(spark)
+        print(json.dumps(out), flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--delta-scale" in sys.argv:
+        delta_scale_study()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="mdm-bench")
@@ -364,21 +389,40 @@ def main() -> None:
             force(qs[name](spark, WARMUP_SF_DIR))
         release_job_state(spark)
 
+    # Single-shot walls are unattributable round-over-round on this
+    # shared VM (documented ±30% noise band — r4 saw +23% on a query
+    # whose code hadn't changed). Queries whose first reading is ≥
+    # HEAVY_SEC therefore run MEDIAN_REPS times and report the median,
+    # with per-rep readings published in "reps" so the spread is visible;
+    # sub-threshold queries stay single-shot (their absolute noise is
+    # small). The total is the sum of the reported (median) walls.
+    HEAVY_SEC = 3.0
+    MEDIAN_REPS = 3
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        release_job_state(spark)
+        walls = []
+        for _ in range(MEDIAN_REPS):
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            walls.append(time.time() - t0)
+            release_job_state(spark)
+            if walls[0] < HEAVY_SEC:
+                break
+        walls.sort()
+        med = walls[len(walls) // 2]
+        timings[name] = round(med, 3)
+        if len(walls) > 1:
+            reps[name] = [round(w, 3) for w in walls]
+        total += med
 
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # quality + incremental metrics (untimed extras; skip with
