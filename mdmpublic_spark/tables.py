@@ -12,7 +12,12 @@ applies: ``overwrite`` → ``df.writeTo(name).createOrReplace()``,
 ``spark.table(name)`` (+ ``VERSION AS OF`` for time travel),
 ``delete_where`` → ``DELETE FROM name WHERE ...`` (row-level delete),
 ``expire_snapshots`` → the Iceberg ``expire_snapshots`` procedure.
-No runtime switch pretends otherwise here.
+That swap is now WRITTEN: ``mdmpublic_spark.iceberg.IcebergTable``
+implements this same surface against the real Iceberg Spark APIs,
+gated on runtime-jar availability (it raises with deployment guidance
+when the jar is absent — no silent fallback); its write surface is
+covered by a skipped-if-no-jar roundtrip test. This module remains the
+sandbox default because no Iceberg jar ships here.
 
 Reference analog: Couchbase buckets + ES snapshot/backup machinery —
 full/diff/accumulate backups (/root/reference/python/db_backup/
