@@ -56,6 +56,14 @@ SHOWCASE: dict[str, str] = {
         "with size + positional filters, then exact verify on candidates "
         "only; df-capped via a broadcast filter join."
     ),
+    "dd_minhash_token_pairs": (
+        "order-insensitive TOKEN-set MinHash arm (round 5): JVM-side "
+        "xxhash64 of distinct tokens feeds the int64-array signature UDF "
+        "(one Arrow crossing, no per-token strings), banding stays in "
+        "whole-stage codegen, candidates come from a band-key equi-join "
+        "(SortMergeJoin/ShuffledHashJoin on the band string — never a "
+        "cartesian), exact token verify restricted to candidates."
+    ),
     "dd_fingerprint_pairs": (
         "O(1)-per-doc sketch join: 4 int64 rows per doc through the "
         "shuffle; the Python crossing is only the fingerprint UDF on the "
